@@ -1,0 +1,24 @@
+"""octofitter_tpu: TPU-native Bayesian orbit-fitting framework.
+
+A from-scratch JAX/XLA/Pallas re-design with the capabilities of
+Octofitter.jl (reference mounted at /root/reference): probabilistic
+model specification for Keplerian orbits of exoplanets and binary
+stars, heterogeneous astronomical likelihoods, and massively
+vectorized samplers that map onto TPU meshes.
+"""
+
+from . import constants
+from . import distributions
+from . import bijectors
+from . import orbits
+from .constants import mjd, mjd2jd, jd2mjd, years2mjd, mjd2years
+from .orbits import (
+    KepOrbit,
+    VisualOrbit,
+    ThieleInnesOrbit,
+    RadialVelocityOrbit,
+    orbitsolve,
+    kepler_solver,
+)
+
+__version__ = "0.1.0"
