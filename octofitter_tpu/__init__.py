@@ -20,5 +20,23 @@ from .orbits import (
     orbitsolve,
     kepler_solver,
 )
+from .model import (
+    Params,
+    Derived,
+    DirectLL,
+    Planet,
+    System,
+    UniformCircular,
+    UserLikelihood,
+    LogDensityModel,
+    theta_at_epoch_to_tperi,
+    ofti_linear_solve,
+)
+from .likelihoods import (
+    PlanetRelAstromObs,
+    PlanetRelAstromLikelihood,
+    PhotometryObs,
+    PhotometryLikelihood,
+)
 
 __version__ = "0.1.0"

@@ -1,0 +1,374 @@
+"""LogDensityModel: the single object all samplers consume.
+
+TPU-native equivalent of `/root/reference/src/logdensitymodel.jl` plus
+the codegen layers it drives (`make_arr2nt` `variables.jl:758`,
+`make_ln_prior_transformed` `variables.jl:1205`, `make_ln_like`
+`system.jl:21`). Where the reference metaprograms unrolled Julia
+functions, here the model is *traced once* and compiled by XLA:
+
+    theta_t (unconstrained, flat)
+      -> invlink (per-prior bijectors)
+      -> arr2nt (structured Params; derived vars evaluated inline)
+      -> ln_prior (with change-of-variables corrections)
+      -> ln_like (orbits constructed, Kepler pre-solved at ALL epochs in
+                  one vectorized call, every observation's vectorized
+                  log-likelihood summed)
+
+-Inf gating is branch-free (`jnp.where`), gradients come from
+`jax.grad` (exact, replacing ForwardDiff duals), and the whole pipeline
+vmaps over a chain axis.
+"""
+
+from __future__ import annotations
+
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .params import Params
+from .variables import (
+    PlanetObservationContext,
+    System,
+    SystemObservationContext,
+)
+from ..orbits import orbitsolve
+
+
+class LogDensityModel:
+    """Posterior log-density with link/invlink, arr2nt, prior sampler.
+
+    Attributes mirroring the reference (`logdensitymodel.jl:5-24`):
+      D, ln_post(theta_t), ln_post_and_grad(theta_t), link, invlink,
+      arr2nt, sample_priors, starting_points.
+    """
+
+    def __init__(self, system: System, verbosity: int = 1):
+        self.system = system
+        self.verbosity = verbosity
+
+        # ------------------------------------------------------------------
+        # 1. Flat prior list, ordering contract of `_list_priors`
+        #    (`variables.jl:691-737`): system, system-obs, then per planet:
+        #    planet priors, planet-obs priors.
+        # ------------------------------------------------------------------
+        entries = []  # (path, name, dist, bijector)
+
+        def add_prior_specs(specs, path):
+            for s in specs:
+                if s.kind == "prior":
+                    entries.append((path, s.name, s.value, s.value.bijector()))
+
+        add_prior_specs(system.var_specs, ("sys",))
+        for obs in system.observations:
+            add_prior_specs(obs.var_specs, ("sysobs", obs.normalized_name))
+        for planet in system.planets:
+            add_prior_specs(planet.var_specs, ("planet", planet.name))
+            for obs in planet.observations:
+                add_prior_specs(
+                    obs.var_specs, ("planetobs", planet.name, obs.normalized_name)
+                )
+
+        self._prior_entries = entries
+        self.D = len(entries)
+        if self.D == 0:
+            raise ValueError("Model has no free (prior) parameters")
+
+        # Flat parameter names using the chain naming contract
+        # (`sampling.jl:551-635`): var, obs_var, planet_var, planet_obs_var.
+        names = []
+        for path, name, _, _ in entries:
+            if path[0] == "sys":
+                names.append(name)
+            elif path[0] == "sysobs":
+                names.append(f"{path[1]}_{name}")
+            elif path[0] == "planet":
+                names.append(f"{path[1]}_{name}")
+            else:
+                names.append(f"{path[1]}_{path[2]}_{name}")
+        self.parameter_names = names
+
+        # ------------------------------------------------------------------
+        # 2. Epoch gathering with per-obs start indices (`system.jl:35-54`):
+        #    system observations first, then per-planet observations.
+        # ------------------------------------------------------------------
+        all_epochs = []
+        start_map = {}
+        j = 0
+        for obs in system.observations:
+            ep = obs.epochs
+            if ep is not None:
+                start_map[id(obs)] = j
+                j += len(ep)
+                all_epochs.append(ep)
+        for planet in system.planets:
+            for obs in planet.observations:
+                ep = obs.epochs
+                if ep is not None:
+                    start_map[id(obs)] = j
+                    j += len(ep)
+                    all_epochs.append(ep)
+        self._epoch_start = start_map
+        self._all_epochs = (
+            np.concatenate(all_epochs) if all_epochs else np.zeros((0,))
+        )
+        self.n_epochs = len(self._all_epochs)
+
+        # ------------------------------------------------------------------
+        # 3. Build pure functions
+        # ------------------------------------------------------------------
+        self.arr2nt = self._make_arr2nt()
+        self.link = self._make_link()
+        self.invlink = self._make_invlink()
+        self.ln_prior = self._make_ln_prior()
+        self.ln_prior_transformed = self._make_ln_prior_transformed()
+        self.ln_like_nt = self._make_ln_like()
+
+        def ln_post(theta_t):
+            theta_t = jnp.asarray(theta_t)
+            finite_in = jnp.all(jnp.isfinite(theta_t))
+            theta = self.invlink(theta_t)
+            lp = self.ln_prior_transformed(theta_t)
+            theta_nt = self.arr2nt(theta)
+            ll = self.ln_like_nt(theta_nt)
+            lpost = lp + ll
+            return jnp.where(
+                finite_in & jnp.isfinite(lpost), lpost, -jnp.inf
+            )
+
+        self._ln_post_py = ln_post
+        self.ln_post = jax.jit(ln_post)
+        self.ln_post_and_grad = jax.jit(jax.value_and_grad(ln_post))
+
+        self.starting_points = None  # set by initialize()
+
+        # probe once, like the reference's fail-fast + @showtime
+        # (`logdensitymodel.jl:90-92,159-187`)
+        key = jax.random.PRNGKey(0)
+        theta0 = self.sample_priors(key)
+        theta0_t = self.link(theta0)
+        t0 = time.perf_counter()
+        lp0 = float(self.ln_post(theta0_t))
+        t_compile = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        _, g = self.ln_post_and_grad(theta0_t)
+        g = np.asarray(g)
+        t_gcompile = time.perf_counter() - t0
+        if verbosity >= 2:
+            print(
+                f"LogDensityModel {system.name}: D={self.D}, "
+                f"epochs={self.n_epochs}, ln_post(theta0)={lp0:.3f} "
+                f"(compile {t_compile:.2f}s, grad compile {t_gcompile:.2f}s)"
+            )
+        if not np.isfinite(lp0) and verbosity >= 1:
+            print(
+                f"warning: ln_post at a prior draw is {lp0}; "
+                "check your model specification"
+            )
+
+    # ----------------------------------------------------------------------
+    def _make_arr2nt(self):
+        system = self.system
+
+        def eval_specs(specs, take, outer_scopes):
+            d = {}
+            for s in specs:
+                if s.kind == "prior":
+                    d[s.name] = take()
+                elif s.kind == "constant":
+                    d[s.name] = jnp.asarray(s.value)
+                else:
+                    d[s.name] = s.value(*outer_scopes, Params(d))
+            return d
+
+        def arr2nt(theta):
+            theta = jnp.asarray(theta)
+            it = iter(range(self.D))
+
+            def take():
+                return theta[..., next(it)]
+
+            sys_d = eval_specs(system.var_specs, take, ())
+            sys_ns = Params(sys_d)
+
+            sysobs_d = {}
+            for obs in system.observations:
+                sysobs_d[obs.normalized_name] = Params(
+                    eval_specs(obs.var_specs, take, (sys_ns,))
+                )
+
+            planets_d = {}
+            for planet in system.planets:
+                pl_d = eval_specs(planet.var_specs, take, (sys_ns,))
+                pl_ns = Params(pl_d)
+                plobs_d = {}
+                for obs in planet.observations:
+                    plobs_d[obs.normalized_name] = Params(
+                        eval_specs(obs.var_specs, take, (sys_ns, pl_ns))
+                    )
+                pl_d = dict(pl_d)
+                pl_d["observations"] = Params(plobs_d)
+                planets_d[planet.name] = Params(pl_d)
+
+            out = dict(sys_d)
+            out["planets"] = Params(planets_d)
+            out["observations"] = Params(sysobs_d)
+            return Params(out)
+
+        return arr2nt
+
+    def _make_link(self):
+        bijectors = [e[3] for e in self._prior_entries]
+
+        def link(theta):
+            theta = jnp.asarray(theta)
+            return jnp.stack(
+                [bijectors[i].forward(theta[..., i]) for i in range(self.D)],
+                axis=-1,
+            )
+
+        return link
+
+    def _make_invlink(self):
+        bijectors = [e[3] for e in self._prior_entries]
+
+        def invlink(theta_t):
+            theta_t = jnp.asarray(theta_t)
+            return jnp.stack(
+                [bijectors[i].inverse(theta_t[..., i]) for i in range(self.D)],
+                axis=-1,
+            )
+
+        return invlink
+
+    def _make_ln_prior(self):
+        dists = [e[2] for e in self._prior_entries]
+
+        def ln_prior(theta):
+            theta = jnp.asarray(theta)
+            lp = jnp.zeros(theta.shape[:-1])
+            for i, d in enumerate(dists):
+                lp = lp + d.logpdf(theta[..., i])
+            return lp
+
+        return ln_prior
+
+    def _make_ln_prior_transformed(self):
+        dists = [e[2] for e in self._prior_entries]
+        bijectors = [e[3] for e in self._prior_entries]
+
+        def ln_prior_t(theta_t):
+            # logpdf(x) + log|dx/dy| summed over parameters
+            # (Bijectors.jl `logpdf_with_trans`, `variables.jl:1205-1369`)
+            theta_t = jnp.asarray(theta_t)
+            lp = jnp.zeros(theta_t.shape[:-1])
+            for i in range(self.D):
+                y = theta_t[..., i]
+                x = bijectors[i].inverse(y)
+                lp = lp + dists[i].logpdf(x) + bijectors[i].logabsdet_inverse(y)
+            return lp
+
+        return ln_prior_t
+
+    # ----------------------------------------------------------------------
+    def construct_orbits(self, theta_nt):
+        """Build orbit elements for every planet from structured params
+        (reference planet construction, `system.jl:116-118`)."""
+        sys_kw = {
+            k: v
+            for k, v in theta_nt.items()
+            if k not in ("planets", "observations")
+        }
+        orbits = []
+        for planet in self.system.planets:
+            pl = theta_nt.planets[planet.name]
+            kw = dict(sys_kw)
+            kw.update({k: v for k, v in pl.items() if k != "observations"})
+            orbits.append(planet.basis.from_params(**kw))
+        return tuple(orbits)
+
+    def _make_ln_like(self):
+        system = self.system
+        epochs_np = self._all_epochs
+        start_map = self._epoch_start
+
+        def ln_like_nt(theta_nt):
+            orbits = self.construct_orbits(theta_nt)
+            if len(epochs_np) and len(orbits):
+                epochs = jnp.asarray(epochs_np)
+                sols = tuple(orbitsolve(o, epochs) for o in orbits)
+            else:
+                sols = tuple(None for _ in orbits)
+
+            ll = jnp.asarray(0.0)
+            # planet-attached observations (`system.jl:81-115`)
+            for i_planet, planet in enumerate(system.planets):
+                theta_planet = theta_nt.planets[planet.name]
+                for obs in planet.observations:
+                    theta_obs = theta_planet.observations.get(
+                        obs.normalized_name, Params()
+                    )
+                    ctx = PlanetObservationContext(
+                        theta_system=theta_nt,
+                        theta_planet=theta_planet,
+                        theta_obs=theta_obs,
+                        orbits=orbits,
+                        solutions=sols,
+                        i_planet=i_planet,
+                        epoch_start=start_map.get(id(obs), 0),
+                    )
+                    ll = ll + obs.ln_like(ctx)
+            # system-attached observations (`system.jl:180-204`)
+            for obs in system.observations:
+                theta_obs = theta_nt.observations.get(
+                    obs.normalized_name, Params()
+                )
+                ctx = SystemObservationContext(
+                    theta_system=theta_nt,
+                    theta_obs=theta_obs,
+                    orbits=orbits,
+                    solutions=sols,
+                    epoch_start=start_map.get(id(obs), 0),
+                )
+                ll = ll + obs.ln_like(ctx)
+            return ll
+
+        return ln_like_nt
+
+    # ----------------------------------------------------------------------
+    def sample_priors(self, key, n: int | None = None):
+        """IID draws from the priors, flat natural space
+        (`make_prior_sampler`, `variables.jl:1372`)."""
+        dists = [e[2] for e in self._prior_entries]
+        if n is None:
+            keys = jax.random.split(key, self.D)
+            return jnp.stack(
+                [d.sample(k) for d, k in zip(dists, keys)], axis=-1
+            )
+        keys = jax.random.split(key, self.D)
+        return jnp.stack(
+            [d.sample(k, (n,)) for d, k in zip(dists, keys)], axis=-1
+        )
+
+    def drawfrompriors(self, key):
+        """Structured prior draw (`drawfrompriors`, `variables.jl:1507`)."""
+        return self.arr2nt(self.sample_priors(key))
+
+    # ----------------------------------------------------------------------
+    def prior_search(self, key, n_samples: int = 10_000, n_keep: int = 1000):
+        """Vectorized prior search for starting points.
+
+        TPU-native version of the reference's threaded
+        `guess_starting_position` (`initialization.jl:14-66`): draw
+        n_samples IID from the priors, evaluate the posterior density in
+        one vmapped call, keep the best n_keep (finite) draws.
+        Returns (theta_t_points [n_keep, D], logposts [n_keep]).
+        """
+        draws = self.sample_priors(key, n_samples)
+        draws_t = self.link(draws)
+        lps = jax.jit(jax.vmap(self._ln_post_py))(draws_t)
+        lps = jnp.where(jnp.isnan(lps), -jnp.inf, lps)
+        order = jnp.argsort(-lps)
+        keep = order[:n_keep]
+        return draws_t[keep], lps[keep]
