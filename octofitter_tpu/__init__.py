@@ -38,5 +38,7 @@ from .likelihoods import (
     PhotometryObs,
     PhotometryLikelihood,
 )
+from .samplers import octofit, octofit_rejection
+from .chains import Chains, ess_rhat
 
 __version__ = "0.1.0"

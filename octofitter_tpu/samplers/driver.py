@@ -1,0 +1,237 @@
+"""High-level sampling entry points.
+
+`octofit` is the TPU-native equivalent of the reference's NUTS driver
+(`/root/reference/src/sampling.jl:140,317-528`): initialization from a
+vectorized prior search, window-adapted vectorized NUTS across a chain
+axis, a post-run sampling report, and repackaging of draws (with all
+derived quantities) into a named `Chains` object.
+
+`octofit_rejection` mirrors `sampling.jl:168-279`: IID prior draws
+accepted with probability exp(ll - max_ll) — trivially one vmapped
+device call here.
+"""
+
+from __future__ import annotations
+
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..chains import Chains, flatten_params_batch
+from ..model.logdensity import LogDensityModel
+from .nuts import run_nuts
+
+
+def _repackage(model: LogDensityModel, samples_t, lps, stats, info, t_sampling):
+    """Transformed draws -> named Chains with derived quantities.
+
+    Equivalent of the reference's invlink -> arr2nt -> result2mcmcchain
+    repackaging (`sampling.jl:465-527`)."""
+    n_chains, n_draws, D = samples_t.shape
+    flat_t = samples_t.reshape(-1, D)
+
+    @jax.jit
+    def postprocess(flat_t):
+        nat = jax.vmap(model.invlink)(flat_t)
+        nts = jax.vmap(model.arr2nt)(nat)
+        lprior = jax.vmap(model.ln_prior_transformed)(flat_t)
+        return nts, lprior
+
+    nts, lprior = postprocess(flat_t)
+    cols = flatten_params_batch(nts)
+    data = {
+        k: np.asarray(v).reshape(n_chains, n_draws, *np.shape(v)[1:])
+        for k, v in cols.items()
+        if np.ndim(v) == 1  # scalar variables only for now
+    }
+    lps_np = np.asarray(lps)
+    lprior_np = np.asarray(lprior).reshape(n_chains, n_draws)
+    internals = {
+        "logpost": lps_np,
+        "logprior": lprior_np,
+        "loglike": lps_np - lprior_np,
+        "acceptance_rate": np.asarray(stats.acceptance_rate),
+        "is_divergent": np.asarray(stats.is_divergent),
+        "tree_depth": np.asarray(stats.tree_depth),
+        "n_steps": np.asarray(stats.n_steps),
+        "energy": np.asarray(stats.energy),
+        "step_size": np.asarray(stats.step_size),
+    }
+    chain_info = {
+        "sampler": "nuts_vectorized",
+        "model_name": model.system.name,
+        "step_size": np.asarray(info["step_size"]),
+        "sigma": np.asarray(info["sigma"]),
+        "sampling_time_s": t_sampling,
+        "parameter_names": model.parameter_names,
+    }
+    return Chains(data, internals, chain_info)
+
+
+def _initial_sigma_from_points(points, metric):
+    """Dense metric seeded from the starting-point covariance, with the
+    reference's diagonal-jitter retry ladder (`sampling.jl:336-363`)."""
+    pts = np.asarray(points)
+    if metric == "diag":
+        v = pts.var(axis=0)
+        return np.where(v > 1e-12, v, 1.0)
+    if len(pts) < pts.shape[1] + 2:
+        return np.eye(pts.shape[1])
+    cov = np.cov(pts.T)
+    d = pts.shape[1]
+    for jitter in [0.0, 1e-8, 1e-6, 1e-4, 1e-2, 1.0]:
+        trial = cov + jitter * np.eye(d)
+        try:
+            np.linalg.cholesky(trial)
+            return trial
+        except np.linalg.LinAlgError:
+            continue
+    return np.eye(d)
+
+
+def octofit(
+    model: LogDensityModel,
+    target_accept: float = 0.8,
+    *,
+    key=None,
+    chains: int = 4,
+    adaptation: int = 1000,
+    iterations: int = 1000,
+    max_depth: int = 12,
+    verbosity: int = 1,
+    starting_points=None,
+    metric: str = "dense",
+):
+    """Sample the posterior with vectorized NUTS.
+
+    Defaults mirror the reference (`sampling.jl:317-325`):
+    adaptation=1000, iterations=1000, max_depth=12, target_accept=0.8,
+    dense metric seeded from the starting-point covariance — but
+    `chains` may be thousands on a TPU chip.
+    """
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    k_init, k_run = jax.random.split(key)
+
+    vg = jax.value_and_grad(model._ln_post_py)
+
+    if starting_points is not None:
+        theta0 = jnp.asarray(starting_points)
+        if theta0.ndim == 1:
+            theta0 = jnp.tile(theta0[None, :], (chains, 1))
+        sigma_pts = theta0
+    else:
+        sigma_pts, _ = model.prior_search(
+            k_init, n_samples=50_000, n_keep=max(chains, 100)
+        )
+        idx = jax.random.choice(
+            jax.random.split(k_init, 1)[0],
+            sigma_pts.shape[0],
+            (chains,),
+            replace=True,
+        )
+        theta0 = sigma_pts[idx]
+
+    initial_sigma = _initial_sigma_from_points(sigma_pts, metric)
+
+    t0 = time.perf_counter()
+    samples, lps, stats, info = run_nuts(
+        vg,
+        theta0,
+        k_run,
+        n_warmup=adaptation,
+        n_samples=iterations,
+        max_depth=max_depth,
+        target_accept=target_accept,
+        metric=metric,
+        initial_sigma=initial_sigma,
+    )
+    jax.block_until_ready(samples)
+    t_sampling = time.perf_counter() - t0
+
+    if verbosity >= 1:
+        n_total_steps = int(np.asarray(stats.n_steps).sum())
+        n_div = int(np.asarray(stats.is_divergent).sum())
+        n_draws_total = chains * iterations
+        mean_accept = float(np.asarray(stats.acceptance_rate).mean())
+        mean_depth = float(np.asarray(stats.tree_depth).mean())
+        us_per_step = t_sampling / max(n_total_steps, 1) * 1e6
+        print(
+            f"octofit sampling report: {chains} chains x {iterations} draws "
+            f"in {t_sampling:.2f}s\n"
+            f"  mean acceptance          {mean_accept:.3f}\n"
+            f"  divergences              {n_div} "
+            f"({100 * n_div / n_draws_total:.2f}%)\n"
+            f"  mean tree depth          {mean_depth:.2f}\n"
+            f"  total leapfrog steps     {n_total_steps}\n"
+            f"  time per gradient eval   {us_per_step:.2f} us"
+        )
+
+    return _repackage(model, samples, lps, stats, info, t_sampling)
+
+
+def octofit_rejection(
+    model: LogDensityModel,
+    *,
+    key=None,
+    num_samples: int = 10_000,
+    batch_size: int = 100_000,
+    max_batches: int = 100,
+    verbosity: int = 1,
+):
+    """Rejection sampling from the prior (`sampling.jl:168-279`).
+
+    Draw IID prior batches on device, accept each draw with probability
+    exp(ll - max_ll) where max_ll is the running maximum likelihood.
+    Pairs with `ofti_linear_solve` for OFTI-style workflows.
+    """
+    if key is None:
+        key = jax.random.PRNGKey(0)
+
+    @jax.jit
+    def batch_lls(k):
+        draws = model.sample_priors(k, batch_size)
+        nts = jax.vmap(model.arr2nt)(draws)
+        lls = jax.vmap(model.ln_like_nt)(nts)
+        return draws, jnp.where(jnp.isnan(lls), -jnp.inf, lls)
+
+    accepted = []
+    max_ll = -np.inf
+    total_drawn = 0
+    for i in range(max_batches):
+        key, k_batch, k_acc = jax.random.split(key, 3)
+        draws, lls = batch_lls(k_batch)
+        lls_np = np.asarray(lls)
+        max_ll = max(max_ll, float(lls_np.max()))
+        u = np.asarray(jax.random.uniform(k_acc, (batch_size,)))
+        keep = u < np.exp(lls_np - max_ll)
+        accepted.append(np.asarray(draws)[keep])
+        total_drawn += batch_size
+        n_acc = sum(len(a) for a in accepted)
+        if verbosity >= 2:
+            print(
+                f"octofit_rejection: batch {i + 1}, accepted {n_acc}"
+                f"/{total_drawn}"
+            )
+        if n_acc >= num_samples:
+            break
+
+    draws_nat = np.concatenate(accepted)[:num_samples]
+    if len(draws_nat) == 0:
+        raise RuntimeError("rejection sampling accepted zero draws")
+
+    nts = jax.vmap(model.arr2nt)(jnp.asarray(draws_nat))
+    cols = flatten_params_batch(nts)
+    data = {
+        k: np.asarray(v)[None, :] for k, v in cols.items() if np.ndim(v) == 1
+    }
+    nts_ll = jax.vmap(model.ln_like_nt)(jax.vmap(model.arr2nt)(jnp.asarray(draws_nat)))
+    internals = {"loglike": np.asarray(nts_ll)[None, :]}
+    info = {
+        "sampler": "rejection",
+        "model_name": model.system.name,
+        "acceptance_fraction": len(draws_nat) / total_drawn,
+    }
+    return Chains(data, internals, info)
