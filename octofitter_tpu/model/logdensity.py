@@ -142,6 +142,7 @@ class LogDensityModel:
         self.ln_post_and_grad = jax.jit(jax.value_and_grad(ln_post))
 
         self.starting_points = None  # set by initialize()
+        self.laplace_sigma = None    # H^{-1} at the mode, set by initialize()
 
         # probe once, like the reference's fail-fast + @showtime
         # (`logdensitymodel.jl:90-92,159-187`)
@@ -354,6 +355,35 @@ class LogDensityModel:
     def drawfrompriors(self, key):
         """Structured prior draw (`drawfrompriors`, `variables.jl:1507`)."""
         return self.arr2nt(self.sample_priors(key))
+
+    # ----------------------------------------------------------------------
+    def initialize(self, key=None, **kwargs):
+        """Run the initialization pipeline (prior search -> multistart
+        optimization -> Laplace draws); see model/initialization.py.
+        Mirrors the reference `initialize!` (`initialization.jl:184`)."""
+        from .initialization import initialize as _init
+
+        return _init(self, key, **kwargs)
+
+    def startingpoints(self, points):
+        """Manually set starting points (natural-space flat draws), like
+        the reference `startingpoints!` (`initialization.jl:344`)."""
+        pts = jnp.asarray(points)
+        if pts.ndim == 1:
+            pts = pts[None, :]
+        self.starting_points = np.asarray(jax.vmap(self.link)(pts))
+        return self
+
+    def get_starting_point(self, key=None):
+        """Return one starting point (unconstrained), initializing first
+        if needed (`get_starting_point!!`, `initialization.jl:85-93`)."""
+        if self.starting_points is None:
+            self.initialize(key)
+        pts = np.asarray(self.starting_points)
+        i = 0 if key is None else int(
+            jax.random.randint(key, (), 0, len(pts))
+        )
+        return jnp.asarray(pts[i])
 
     # ----------------------------------------------------------------------
     def prior_search(self, key, n_samples: int = 10_000, n_keep: int = 1000):

@@ -1,0 +1,33 @@
+"""Radial-velocity subpackage (reference `OctofitterRadialVelocity`)."""
+
+from .likelihoods import (
+    StarAbsoluteRVObs,
+    StarAbsoluteRVLikelihood,
+    MarginalizedStarAbsoluteRVObs,
+    MarginalizedStarAbsoluteRVLikelihood,
+    PlanetRelativeRVObs,
+    PlanetRelativeRVLikelihood,
+)
+from .kernels import (
+    Kernel,
+    SqExponentialKernel,
+    Matern32Kernel,
+    QuasiPeriodicKernel,
+    gp_loglike,
+    gp_predict,
+)
+
+__all__ = [
+    "StarAbsoluteRVObs",
+    "StarAbsoluteRVLikelihood",
+    "MarginalizedStarAbsoluteRVObs",
+    "MarginalizedStarAbsoluteRVLikelihood",
+    "PlanetRelativeRVObs",
+    "PlanetRelativeRVLikelihood",
+    "Kernel",
+    "SqExponentialKernel",
+    "Matern32Kernel",
+    "QuasiPeriodicKernel",
+    "gp_loglike",
+    "gp_predict",
+]

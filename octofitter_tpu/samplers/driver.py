@@ -121,20 +121,26 @@ def octofit(
         theta0 = jnp.asarray(starting_points)
         if theta0.ndim == 1:
             theta0 = jnp.tile(theta0[None, :], (chains, 1))
-        sigma_pts = theta0
+        initial_sigma = _initial_sigma_from_points(theta0, metric)
     else:
-        sigma_pts, _ = model.prior_search(
-            k_init, n_samples=50_000, n_keep=max(chains, 100)
+        if model.starting_points is None:
+            # full initialization pipeline (`initialization.jl:184`):
+            # prior search -> multistart optimization -> Laplace draws
+            model.initialize(k_init, verbosity=verbosity)
+        pts = np.asarray(model.starting_points)
+        idx = np.asarray(
+            jax.random.choice(
+                jax.random.split(k_init, 1)[0],
+                len(pts),
+                (chains,),
+                replace=True,
+            )
         )
-        idx = jax.random.choice(
-            jax.random.split(k_init, 1)[0],
-            sigma_pts.shape[0],
-            (chains,),
-            replace=True,
-        )
-        theta0 = sigma_pts[idx]
-
-    initial_sigma = _initial_sigma_from_points(sigma_pts, metric)
+        theta0 = jnp.asarray(pts[idx])
+        if model.laplace_sigma is not None and metric == "dense":
+            initial_sigma = model.laplace_sigma
+        else:
+            initial_sigma = _initial_sigma_from_points(pts, metric)
 
     t0 = time.perf_counter()
     samples, lps, stats, info = run_nuts(
