@@ -38,7 +38,7 @@ from .likelihoods import (
     PhotometryObs,
     PhotometryLikelihood,
 )
-from .samplers import octofit, octofit_rejection
+from .samplers import octofit, octofit_rejection, octofit_pigeons
 from .chains import Chains, ess_rhat
 
 __version__ = "0.1.0"

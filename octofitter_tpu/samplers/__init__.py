@@ -2,5 +2,12 @@
 
 from .driver import octofit, octofit_rejection
 from .nuts import run_nuts, nuts_step
+from .tempering import octofit_pigeons
 
-__all__ = ["octofit", "octofit_rejection", "run_nuts", "nuts_step"]
+__all__ = [
+    "octofit",
+    "octofit_rejection",
+    "octofit_pigeons",
+    "run_nuts",
+    "nuts_step",
+]
