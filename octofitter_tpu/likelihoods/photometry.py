@@ -40,10 +40,13 @@ class PhotometryObs(AbstractObs):
         theta = self._theta(ctx)
         return {"phot_model": jnp.broadcast_to(theta["flux"], self.table["phot"].shape)}
 
-    def ln_like(self, ctx):
+    def pointwise_ln_like(self, ctx):
         model = self.simulate(ctx)["phot_model"]
         resid = jnp.asarray(self.table["phot"]) - model
-        return jnp.sum(gauss_logpdf(resid, jnp.asarray(self.table["σ_phot"])))
+        return gauss_logpdf(resid, jnp.asarray(self.table["σ_phot"]))
+
+    def ln_like(self, ctx):
+        return jnp.sum(self.pointwise_ln_like(ctx))
 
     def generate_from_params(self, ctx, rng, add_noise=False):
         model = np.asarray(self.simulate(ctx)["phot_model"], dtype=np.float64)

@@ -92,7 +92,7 @@ class PlanetRelAstromObs(AbstractObs):
         return {"ra_model": ra_model, "dec_model": dec_model, "epochs": self.table["epoch"]}
 
     # ------------------------------------------------------------------
-    def ln_like(self, ctx: PlanetObservationContext):
+    def pointwise_ln_like(self, ctx: PlanetObservationContext):
         theta_obs = ctx.theta_obs
         dtype = jnp.result_type(float)
         jitter = theta_obs.get("jitter", jnp.asarray(0.0, dtype)) if isinstance(theta_obs, Params) else jnp.asarray(0.0, dtype)
@@ -127,7 +127,10 @@ class PlanetRelAstromObs(AbstractObs):
         sigma1 = jnp.hypot(sigma1, jitter)
         sigma2 = jnp.hypot(sigma2, jitter)
         cor = jnp.asarray(self.table.get("cor", np.zeros_like(self.table["epoch"])))
-        return jnp.sum(gauss2d_logpdf(resid1, resid2, sigma1, sigma2, cor))
+        return gauss2d_logpdf(resid1, resid2, sigma1, sigma2, cor)
+
+    def ln_like(self, ctx: PlanetObservationContext):
+        return jnp.sum(self.pointwise_ln_like(ctx))
 
     # ------------------------------------------------------------------
     def generate_from_params(self, ctx, rng, add_noise=False):

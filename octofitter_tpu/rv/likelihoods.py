@@ -140,6 +140,20 @@ class StarAbsoluteRVObs(_BaseRVObs):
         pred, pvar = gp_predict(kernel, epochs, resid, var, ho_epochs)
         return jnp.sum(gauss_logpdf(resid_ho - pred, jnp.sqrt(pvar + var_ho)))
 
+    def pointwise_ln_like(self, ctx: SystemObservationContext):
+        """Per-epoch log-likelihood for CV; the GP case uses the
+        per-point marginal N(0, K_ii + var_i)."""
+        theta_obs = ctx.theta_obs
+        jitter = theta_obs.get("jitter", jnp.asarray(0.0)) if isinstance(theta_obs, Params) else jnp.asarray(0.0)
+        rv_model = self.simulate(ctx)["rv_model"]
+        resid = jnp.asarray(self.table["rv"]) - rv_model
+        var = jnp.asarray(self.table["σ_rv"]) ** 2 + jitter**2
+        if self.gaussian_process is not None:
+            kernel = self.gaussian_process(theta_obs)
+            t = jnp.asarray(self.table["epoch"])
+            var = var + jnp.diagonal(kernel.matrix(t, t))
+        return gauss_logpdf(resid, jnp.sqrt(var))
+
     def generate_from_params(self, ctx, rng, add_noise=False):
         rv_model = np.asarray(self.simulate(ctx)["rv_model"], dtype=np.float64)
         theta_obs = ctx.theta_obs
@@ -191,6 +205,12 @@ class MarginalizedStarAbsoluteRVObs(_BaseRVObs):
         ll = -jnp.sum(jnp.log(2 * math.pi * var))
         ll = ll - (-(B**2) / (4 * A) + C + jnp.log(A))
         return ll
+
+    def pointwise_ln_like(self, ctx: SystemObservationContext):
+        # single-row marginalized formula: a lone point with a free
+        # zero-point carries no information beyond the constant
+        n = len(self.table["epoch"])
+        return jnp.full((n,), -math.log(2 * math.pi))
 
     def generate_from_params(self, ctx, rng, add_noise=False):
         rv_model = np.asarray(self.simulate(ctx)["rv_model"], dtype=np.float64)
@@ -244,6 +264,18 @@ class PlanetRelativeRVObs(_BaseRVObs):
             return jnp.sum(gauss_logpdf(resid, jnp.sqrt(var)))
         kernel = self.gaussian_process(theta_obs)
         return gp_loglike(kernel, jnp.asarray(self.table["epoch"]), resid, var)
+
+    def pointwise_ln_like(self, ctx: PlanetObservationContext):
+        theta_obs = ctx.theta_obs
+        jitter = theta_obs.get("jitter", jnp.asarray(0.0)) if isinstance(theta_obs, Params) else jnp.asarray(0.0)
+        rv_model = self.simulate(ctx)["rv_model"]
+        resid = jnp.asarray(self.table["rv"]) - rv_model
+        var = jnp.asarray(self.table["σ_rv"]) ** 2 + jitter**2
+        if self.gaussian_process is not None:
+            kernel = self.gaussian_process(theta_obs)
+            t = jnp.asarray(self.table["epoch"])
+            var = var + jnp.diagonal(kernel.matrix(t, t))
+        return gauss_logpdf(resid, jnp.sqrt(var))
 
     def generate_from_params(self, ctx, rng, add_noise=False):
         rv_model = np.asarray(self.simulate(ctx)["rv_model"], dtype=np.float64)
