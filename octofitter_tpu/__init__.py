@@ -37,7 +37,12 @@ from .likelihoods import (
     PlanetRelAstromLikelihood,
     PhotometryObs,
     PhotometryLikelihood,
+    HGCAInstantaneousObs,
+    HGCAInstantaneousLikelihood,
+    gaia_plx,
 )
+from . import io as octo_io
+from .io import savechain, loadchain
 from .samplers import octofit, octofit_rejection, octofit_pigeons
 from .chains import Chains, ess_rhat
 

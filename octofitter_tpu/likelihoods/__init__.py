@@ -2,10 +2,15 @@
 
 from .relastrom import PlanetRelAstromObs, PlanetRelAstromLikelihood
 from .photometry import PhotometryObs, PhotometryLikelihood
+from .hgca import HGCAInstantaneousObs, HGCAInstantaneousLikelihood, gaia_plx, load_hgca
 
 __all__ = [
     "PlanetRelAstromObs",
     "PlanetRelAstromLikelihood",
     "PhotometryObs",
     "PhotometryLikelihood",
+    "HGCAInstantaneousObs",
+    "HGCAInstantaneousLikelihood",
+    "gaia_plx",
+    "load_hgca",
 ]
