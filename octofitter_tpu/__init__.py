@@ -40,7 +40,18 @@ from .likelihoods import (
     HGCAInstantaneousObs,
     HGCAInstantaneousLikelihood,
     gaia_plx,
+    ObsPriorAstromONeil2019,
+    LimitClosestApproachAUPrior,
+    NonCrossingPrior,
+    HillStabilityPrior,
+    PlanetOrderPrior,
 )
+from . import rv
+from . import images
+from . import transits
+from . import analysis
+from .images import ImageObs, LogLikelihoodMapObs
+from .transits import LightCurveObs
 from . import io as octo_io
 from .io import savechain, loadchain
 from .samplers import octofit, octofit_rejection, octofit_pigeons
