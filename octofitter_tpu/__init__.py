@@ -50,6 +50,18 @@ from . import rv
 from . import images
 from . import transits
 from . import analysis
+from . import astrom
+from .astrom import (
+    HipparcosIADObs,
+    HipparcosIADLikelihood,
+    GaiaCatalogFitObs,
+    GaiaCatalogFitLikelihood,
+    HGCAObs,
+    HGCALikelihood,
+    GaiaDR4AstromObs,
+    GaiaDR4Astrom,
+)
+from .orbits import AbsoluteVisualOrbit
 from .images import ImageObs, LogLikelihoodMapObs
 from .transits import LightCurveObs
 from . import io as octo_io

@@ -44,5 +44,13 @@ def take_epochs(sol: OrbitSolution, start: int, n: int) -> OrbitSolution:
         for f in dataclasses.fields(sol)
     }
     elem = fields.pop("elem")
+    comp = fields.pop("compensated")
     sliced = {k: v[..., start : start + n] for k, v in fields.items()}
-    return OrbitSolution(elem=elem, **sliced)
+    if comp is not None:
+        comp = type(comp)(
+            **{
+                f.name: getattr(comp, f.name)[..., start : start + n]
+                for f in dataclasses.fields(comp)
+            }
+        )
+    return OrbitSolution(elem=elem, compensated=comp, **sliced)

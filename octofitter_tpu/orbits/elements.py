@@ -264,6 +264,9 @@ class OrbitSolution:
     pmra_masyr: jax.Array
     pmdec_masyr: jax.Array
     radvel_ms: jax.Array
+    # AbsoluteVisual orbits attach propagated barycentric astrometry here
+    # (a Compensated dataclass); None for plain orbits.
+    compensated: object = None
 
 
 def _solve_common(elem, t, a, e):
@@ -350,6 +353,10 @@ def orbitsolve(elem, t):
         radvel = vz * AUDAY_TO_MS
 
     else:
+        from .absolute_visual import AbsoluteVisualOrbit, orbitsolve_absolute
+
+        if isinstance(elem, AbsoluteVisualOrbit):
+            return orbitsolve_absolute(elem, t)
         raise TypeError(f"Unsupported orbit element type {type(elem).__name__}")
 
     return OrbitSolution(

@@ -1,0 +1,6 @@
+"""Visualization (reference `ext/OctofitterMakieExt/`, `OctofitterPairPlotsExt`)."""
+
+from .octoplot import octoplot, astromplot, rvtimeplot, pmaplot
+from .corner import octocorner
+
+__all__ = ["octoplot", "octocorner", "astromplot", "rvtimeplot", "pmaplot"]

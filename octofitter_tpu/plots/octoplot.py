@@ -1,0 +1,168 @@
+"""Orbit plots.
+
+TPU-native equivalent of the reference's Makie plotting extension
+(`/root/reference/ext/OctofitterMakieExt/octoplot.jl` and the
+per-datatype panels): a matplotlib multi-panel figure of posterior
+orbit draws over the data. Operates host-side on a fitted Chains
+object plus the model's simulate functions.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import matplotlib
+
+matplotlib.use("Agg")
+import matplotlib.pyplot as plt  # noqa: E402
+
+import jax.numpy as jnp  # noqa: E402
+
+from ..likelihoods.relastrom import PlanetRelAstromObs  # noqa: E402
+from ..orbits import orbitsolve, raoff, decoff, radvel, pmra, pmdec  # noqa: E402
+from ..constants import MJUP2MSOL  # noqa: E402
+
+
+def _sample_orbits(model, chain, planet_name, n_draws=100, rng=None):
+    """Construct orbit elements for posterior draws of one planet."""
+    rng = rng or np.random.default_rng(0)
+    total = chain.n_chains * chain.n_draws
+    idx = rng.choice(total, size=min(n_draws, total), replace=False)
+    names = model.parameter_names
+    flat = np.stack([chain[n].reshape(-1) for n in names], axis=-1)[idx]
+    orbits = []
+    masses = []
+    for row in flat:
+        nt = model.arr2nt(jnp.asarray(row))
+        orbs = model.construct_orbits(nt)
+        i = [p.name for p in model.system.planets].index(planet_name)
+        orbits.append(orbs[i])
+        pl = nt.planets[planet_name]
+        masses.append(float(pl.mass) * MJUP2MSOL if "mass" in pl else 0.0)
+    return orbits, masses
+
+
+def astromplot(model, chain, ax=None, planet_name=None, n_draws=50):
+    """Sky-plane orbit plot with astrometry data
+    (`astromplot.jl`)."""
+    if ax is None:
+        _, ax = plt.subplots(figsize=(6, 6))
+    planet = (
+        model.system.planets[0]
+        if planet_name is None
+        else next(p for p in model.system.planets if p.name == planet_name)
+    )
+    orbits, _ = _sample_orbits(model, chain, planet.name, n_draws)
+    for orbit in orbits:
+        from ..orbits import period
+
+        P = float(period(orbit))
+        ts = jnp.linspace(float(orbit.tp), float(orbit.tp) + P, 200)
+        sol = orbitsolve(orbit, ts)
+        ax.plot(np.asarray(raoff(sol)), np.asarray(decoff(sol)),
+                color="C0", alpha=0.08, lw=0.8)
+    for obs in planet.observations:
+        if isinstance(obs, PlanetRelAstromObs):
+            t = obs.table
+            if obs.seppa:
+                ra = t["sep"] * np.sin(t["pa"])
+                dec = t["sep"] * np.cos(t["pa"])
+                ax.scatter(ra, dec, s=14, color="k", zorder=5)
+            else:
+                ax.errorbar(t["ra"], t["dec"], xerr=t["σ_ra"], yerr=t["σ_dec"],
+                            fmt="o", ms=3, color="k", zorder=5)
+    ax.plot(0, 0, marker="*", ms=14, color="goldenrod", zorder=6)
+    ax.set_xlabel(r"$\Delta \alpha^*$ [mas]")
+    ax.set_ylabel(r"$\Delta \delta$ [mas]")
+    ax.invert_xaxis()
+    ax.set_aspect("equal")
+    return ax
+
+
+def rvtimeplot(model, chain, ax=None, n_draws=50, t_range=None):
+    """RV time-series plot (`rvtimeplot.jl`)."""
+    if ax is None:
+        _, ax = plt.subplots(figsize=(8, 4))
+    from ..rv.likelihoods import _BaseRVObs
+
+    rv_obs = [o for o in model.system.observations if isinstance(o, _BaseRVObs)]
+    tmin, tmax = np.inf, -np.inf
+    for obs in rv_obs:
+        t = obs.table
+        ax.errorbar(t["epoch"], t["rv"], yerr=t["σ_rv"], fmt="o", ms=3, zorder=5,
+                    label=obs.name)
+        tmin = min(tmin, t["epoch"].min())
+        tmax = max(tmax, t["epoch"].max())
+    if t_range is not None:
+        tmin, tmax = t_range
+    if not np.isfinite(tmin):
+        tmin, tmax = 56000.0, 58000.0
+    ts = jnp.linspace(tmin, tmax, 500)
+    for p in model.system.planets:
+        orbits, masses = _sample_orbits(model, chain, p.name, n_draws)
+        for orbit, m in zip(orbits, masses):
+            sol = orbitsolve(orbit, ts)
+            rv = np.asarray(radvel(sol, m)) if m else np.asarray(radvel(sol))
+            ax.plot(np.asarray(ts), rv, color="C0", alpha=0.08, lw=0.8)
+    ax.set_xlabel("epoch [MJD]")
+    ax.set_ylabel("RV [m/s]")
+    return ax
+
+
+def pmaplot(model, chain, ax=None, n_draws=50):
+    """Proper-motion-anomaly plot (`pmaplot.jl`): reflex pm vs time with
+    HGCA measurement windows."""
+    if ax is None:
+        _, ax = plt.subplots(2, 1, figsize=(8, 5), sharex=True)
+    ts = jnp.linspace(47500.0, 58500.0, 400)
+    for p in model.system.planets:
+        orbits, masses = _sample_orbits(model, chain, p.name, n_draws)
+        for orbit, m in zip(orbits, masses):
+            sol = orbitsolve(orbit, ts)
+            ax[0].plot(np.asarray(ts), np.asarray(pmra(sol, m)),
+                       color="C0", alpha=0.08, lw=0.8)
+            ax[1].plot(np.asarray(ts), np.asarray(pmdec(sol, m)),
+                       color="C0", alpha=0.08, lw=0.8)
+    ax[0].set_ylabel(r"$\Delta\mu_{\alpha*}$ [mas/yr]")
+    ax[1].set_ylabel(r"$\Delta\mu_{\delta}$ [mas/yr]")
+    ax[1].set_xlabel("epoch [MJD]")
+    return ax
+
+
+def octoplot(model, chain, fname=None, n_draws=50):
+    """Multi-panel summary figure (`octoplot.jl:35`): sky orbit plot,
+    plus RV and PM panels when those data types are present."""
+    from ..rv.likelihoods import _BaseRVObs
+    from ..likelihoods.hgca import HGCAInstantaneousObs
+
+    has_rv = any(isinstance(o, _BaseRVObs) for o in model.system.observations)
+    has_pma = any(
+        isinstance(o, HGCAInstantaneousObs) for o in model.system.observations
+    ) or any(type(o).__name__ == "HGCAObs" for o in model.system.observations)
+
+    n_rows = 1 + int(has_rv) + int(has_pma)
+    fig = plt.figure(figsize=(7, 6 + 3 * (n_rows - 1)))
+    gs = fig.add_gridspec(n_rows, 1, height_ratios=[2] + [1] * (n_rows - 1))
+    ax0 = fig.add_subplot(gs[0])
+    astromplot(model, chain, ax=ax0, n_draws=n_draws)
+    row = 1
+    if has_rv:
+        rvtimeplot(model, chain, ax=fig.add_subplot(gs[row]), n_draws=n_draws)
+        row += 1
+    if has_pma:
+        # single-axis PMA summary
+        axp = fig.add_subplot(gs[row])
+        ts = jnp.linspace(47500.0, 58500.0, 400)
+        for p in model.system.planets:
+            orbits, masses = _sample_orbits(model, chain, p.name, n_draws)
+            for orbit, m in zip(orbits, masses):
+                sol = orbitsolve(orbit, ts)
+                axp.plot(np.asarray(ts), np.asarray(pmra(sol, m)),
+                         color="C0", alpha=0.08, lw=0.8)
+        axp.set_ylabel(r"$\Delta\mu_{\alpha*}$ [mas/yr]")
+        axp.set_xlabel("epoch [MJD]")
+    fig.suptitle(model.system.name)
+    fig.tight_layout()
+    if fname:
+        fig.savefig(fname, dpi=150)
+    return fig
