@@ -62,6 +62,16 @@ from .astrom import (
     GaiaDR4Astrom,
 )
 from .orbits import AbsoluteVisualOrbit
+from . import interferometry
+from . import atmosphere
+from . import plots
+from .interferometry import InterferometryObs, InterferometryLikelihood
+from .atmosphere import (
+    sonora_photometry_interpolator,
+    sonora_cooling_interpolator,
+    bhac15_mass_age_interpolator,
+)
+from .plots import octoplot, octocorner
 from .images import ImageObs, LogLikelihoodMapObs
 from .transits import LightCurveObs
 from . import io as octo_io

@@ -8,6 +8,15 @@ from .crossvalidation import (
     psis_loo,
 )
 from .sbc import sbc_trial, calibrate
+from .completeness import (
+    CompletenessJob,
+    CompletenessMap,
+    CompletenessResult,
+    assemble_completeness,
+    completeness_jobs,
+    completeness_map,
+    run_completeness_trial,
+)
 
 __all__ = [
     "pointwise_like",
@@ -17,4 +26,11 @@ __all__ = [
     "psis_loo",
     "sbc_trial",
     "calibrate",
+    "CompletenessJob",
+    "CompletenessMap",
+    "CompletenessResult",
+    "assemble_completeness",
+    "completeness_jobs",
+    "completeness_map",
+    "run_completeness_trial",
 ]

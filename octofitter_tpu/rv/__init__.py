@@ -8,6 +8,13 @@ from .likelihoods import (
     PlanetRelativeRVObs,
     PlanetRelativeRVLikelihood,
 )
+from .celerite import (
+    CeleriteTerm,
+    RealTerm,
+    ComplexTerm,
+    SHOTerm,
+    celerite_loglike,
+)
 from .kernels import (
     Kernel,
     SqExponentialKernel,
@@ -30,4 +37,9 @@ __all__ = [
     "QuasiPeriodicKernel",
     "gp_loglike",
     "gp_predict",
+    "CeleriteTerm",
+    "RealTerm",
+    "ComplexTerm",
+    "SHOTerm",
+    "celerite_loglike",
 ]

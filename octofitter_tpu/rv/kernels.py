@@ -92,11 +92,19 @@ class QuasiPeriodicKernel(Kernel):
         return self.eta1**2 * jnp.exp(decay + periodic)
 
 
-def gp_loglike(kernel: Kernel, t, resid, var):
+def gp_loglike(kernel, t, resid, var):
     """log N(resid | 0, K(t,t) + diag(var)); branch-free and
     differentiable. Non-PSD proposals yield NaN which the model's
     -Inf gate absorbs (reference catches PosDefException instead,
-    `rv-absolute.jl:229-239`)."""
+    `rv-absolute.jl:229-239`).
+
+    Celerite terms dispatch to the O(N) scan solver; dense kernels use
+    a Cholesky factorization.
+    """
+    from .celerite import CeleriteTerm, celerite_loglike
+
+    if isinstance(kernel, CeleriteTerm):
+        return celerite_loglike(kernel, t, resid, var)
     K = kernel.matrix(t, t) + jnp.diag(var)
     L = jnp.linalg.cholesky(K)
     alpha = jsl.solve_triangular(L, resid, lower=True)

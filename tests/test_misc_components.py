@@ -1,0 +1,255 @@
+"""Tests: interferometry, celerite GP, atmosphere grids, completeness."""
+
+import math
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import octofitter_tpu as oc
+from octofitter_tpu import distributions as dist
+from octofitter_tpu.interferometry import (
+    InterferometryObs,
+    closure_phases_deg,
+    cvis_point_sources,
+)
+from octofitter_tpu.rv.celerite import RealTerm, SHOTerm, celerite_loglike
+from octofitter_tpu.orbits import VisualOrbit, orbitsolve, raoff, decoff
+from octofitter_tpu.constants import RAD2AS
+
+
+# ---------------------------------------------------------------------------
+# interferometry
+def test_cvis_analytic_binary():
+    # single companion: V = (1 + f e^{-2pi i (u dra + v ddec)}) / (1+f)
+    rng = np.random.default_rng(0)
+    u = jnp.asarray(rng.uniform(1e6, 1e8, (6, 3)))
+    v = jnp.asarray(rng.uniform(1e6, 1e8, (6, 3)))
+    dra, ddec, f = 5.0, -3.0, 0.01
+    cvis = cvis_point_sources(u, v, [jnp.asarray(dra)], [jnp.asarray(ddec)], [jnp.asarray(f)])
+    mas2rad = 1 / (RAD2AS * 1000)
+    arg = -2 * np.pi * (np.asarray(u) * dra + np.asarray(v) * ddec) * mas2rad
+    expected = (1 + f * np.exp(1j * arg)) / (1 + f)
+    np.testing.assert_allclose(np.asarray(cvis), expected, rtol=1e-10)
+
+
+def test_closure_phase_triangle_consistency():
+    # closure phase of a point source at the phase centre is zero
+    u = jnp.asarray(np.random.default_rng(1).uniform(1e6, 1e8, (3, 2)))
+    v = jnp.asarray(np.random.default_rng(2).uniform(1e6, 1e8, (3, 2)))
+    cvis = cvis_point_sources(u, v, [jnp.asarray(0.0)], [jnp.asarray(0.0)], [jnp.asarray(0.3)])
+    cp = closure_phases_deg(cvis, np.array([0]), np.array([1]), np.array([2]))
+    np.testing.assert_allclose(np.asarray(cp), 0.0, atol=1e-10)
+
+
+TRUE_VIS = dict(a=8.0, e=0.1, i=0.4, omega=1.0, Omega=2.0, tp=57000.0, M=1.3, plx=40.0)
+TRUE_CONTRAST = 0.02
+
+
+def _interf_epoch(epoch, seed):
+    rng = np.random.default_rng(seed)
+    n_base, n_wave = 6, 3
+    u = rng.uniform(-1e8, 1e8, (n_base, n_wave))
+    v = rng.uniform(-1e8, 1e8, (n_base, n_wave))
+    i1, i2, i3 = np.array([0, 1, 2, 3]), np.array([1, 2, 3, 4]), np.array([2, 3, 4, 5])
+    sol = orbitsolve(VisualOrbit.from_params(**TRUE_VIS), jnp.asarray(epoch))
+    cvis = cvis_point_sources(
+        jnp.asarray(u), jnp.asarray(v),
+        [jnp.asarray(float(raoff(sol)))], [jnp.asarray(float(decoff(sol)))],
+        [jnp.asarray(TRUE_CONTRAST)],
+    )
+    cps = np.asarray(closure_phases_deg(cvis, i1, i2, i3))
+    return dict(
+        epoch=epoch, u=u, v=v,
+        cps_data=cps + rng.standard_normal(cps.shape) * 0.5,
+        dcps=np.full(cps.shape, 0.5),
+        vis2_data=np.abs(np.asarray(cvis)) ** 2,
+        dvis2=np.full(u.shape, 0.01),
+        index_cps1=i1, index_cps2=i2, index_cps3=i3,
+        use_vis2=True,
+    )
+
+
+def test_interferometry_likelihood_peaks_at_truth():
+    obs = InterferometryObs(
+        [_interf_epoch(57000.0, 1), _interf_epoch(57100.0, 2)],
+        variables=dict(flux=dist.Uniform(0.0, 0.2)),
+        name="GRAVITY",
+    )
+    b = oc.Planet(
+        name="b",
+        basis="Visual{KepOrbit}",
+        variables={k: v for k, v in TRUE_VIS.items() if k not in ("M", "plx")},
+    )
+    system = oc.System(
+        name="vistest",
+        variables=dict(M=TRUE_VIS["M"], plx=TRUE_VIS["plx"]),
+        companions=[b],
+        observations=[obs],
+    )
+    model = oc.LogDensityModel(system, verbosity=0)
+    lls = []
+    grid = np.linspace(0.005, 0.05, 19)
+    for f in grid:
+        lls.append(float(model.ln_like_nt(model.arr2nt(jnp.asarray([f])))))
+    best = grid[int(np.argmax(lls))]
+    assert abs(best - TRUE_CONTRAST) < 0.005
+    val, grad = model.ln_post_and_grad(model.link(jnp.asarray([TRUE_CONTRAST])))
+    assert np.isfinite(float(val)) and np.all(np.isfinite(np.asarray(grad)))
+
+
+# ---------------------------------------------------------------------------
+# celerite
+def test_celerite_matches_dense():
+    rng = np.random.default_rng(0)
+    t = jnp.asarray(np.sort(rng.uniform(0, 100, 50)))
+    y = jnp.asarray(rng.standard_normal(50))
+    var = jnp.asarray(rng.uniform(0.5, 2.0, 50))
+    for term in [
+        SHOTerm(S0=2.0, w0=0.5, Q=3.0),
+        RealTerm(a=1.5, c=0.1),
+        SHOTerm(1.0, 0.3, 1.0) + RealTerm(0.5, 0.05),
+    ]:
+        K = np.asarray(term.matrix(t, t)) + np.diag(np.asarray(var))
+        _, logdet = np.linalg.slogdet(K)
+        ll_ref = (
+            -0.5 * np.asarray(y) @ np.linalg.solve(K, np.asarray(y))
+            - 0.5 * logdet - 25 * np.log(2 * np.pi)
+        )
+        ll = float(celerite_loglike(term, t, y, var))
+        np.testing.assert_allclose(ll, ll_ref, rtol=1e-9)
+
+
+def test_celerite_gradients():
+    rng = np.random.default_rng(1)
+    t = jnp.asarray(np.sort(rng.uniform(0, 50, 30)))
+    y = jnp.asarray(rng.standard_normal(30))
+    var = jnp.asarray(np.full(30, 1.0))
+
+    def f(S0):
+        return celerite_loglike(SHOTerm(S0, 0.5, 3.0), t, y, var)
+
+    g = float(jax.grad(f)(2.0))
+    fd = (float(f(2.0 + 1e-5)) - float(f(2.0 - 1e-5))) / 2e-5
+    np.testing.assert_allclose(g, fd, rtol=1e-4)
+
+
+def test_celerite_in_rv_model():
+    from test_rv import make_rv_data
+
+    gp = lambda theta_obs: SHOTerm(
+        S0=theta_obs.gp_S0, w0=theta_obs.gp_w0, Q=3.0
+    )
+    from octofitter_tpu.rv import StarAbsoluteRVObs
+
+    data = make_rv_data(n=30)
+    rvobs = StarAbsoluteRVObs(
+        data,
+        dict(
+            offset=dist.Normal(0, 100.0),
+            jitter=dist.LogUniform(0.01, 30.0),
+            gp_S0=dist.LogUniform(0.1, 100.0),
+            gp_w0=dist.LogUniform(0.01, 1.0),
+        ),
+        name="inst",
+        gaussian_process=gp,
+    )
+    b = oc.Planet(
+        name="b",
+        basis="RadialVelocityOrbit",
+        variables=dict(
+            a=dist.Uniform(0.01, 1.0), e=0.1, omega=0.5,
+            tp=57000.0, mass=dist.Uniform(0.0, 20.0),
+        ),
+    )
+    model = oc.LogDensityModel(
+        oc.System(name="rvcel", variables=dict(M=1.0), companions=[b],
+                  observations=[rvobs]),
+        verbosity=0,
+    )
+    theta_t = model.link(model.sample_priors(jax.random.PRNGKey(0)))
+    val, grad = model.ln_post_and_grad(theta_t)
+    assert np.isfinite(float(val)) and np.all(np.isfinite(np.asarray(grad)))
+
+
+# ---------------------------------------------------------------------------
+# atmosphere grids
+def test_sonora_interpolator(tmp_path):
+    # synthetic mag_table: mag = 10 - 3*log10(Teff/1000) + 0.05*mass
+    path = os.path.join(tmp_path, "mag_table+0.0")
+    rng = np.random.default_rng(0)
+    lines = ["header"] * 5
+    for _ in range(300):
+        teff = rng.uniform(300, 2400)
+        mass = rng.uniform(1, 80)
+        mag = 10 - 3 * np.log10(teff / 1000) + 0.05 * mass
+        row = [teff, 4.5, mass, 0.1, 0.28, 2.0] + [mag] * 25
+        lines.append("  ".join(f"{x:9.3f}" for x in row))
+    with open(path, "w") as f:
+        f.write("\n".join(lines))
+
+    from octofitter_tpu.atmosphere import sonora_photometry_interpolator
+
+    itp = sonora_photometry_interpolator("MKO_K", path)
+    got = float(itp(1000.0, 30.0))
+    want = 10 - 3 * np.log10(1.0) + 0.05 * 30
+    assert abs(got - want) < 0.1
+    # differentiable
+    g = float(jax.grad(lambda m: itp(1000.0, m))(30.0))
+    assert abs(g - 0.05) < 0.02
+    # outside domain -> NaN
+    assert np.isnan(float(itp(10000.0, 30.0)))
+
+
+# ---------------------------------------------------------------------------
+# completeness
+def test_completeness_map_tiny():
+    from octofitter_tpu.analysis.completeness import completeness_map
+    from test_generate_and_cv import plain_model
+
+    base = plain_model(n=6)
+    # add a mass variable so we can inject one
+    import octofitter_tpu as oc
+
+    astrom = base.system.planets[0].observations[0]
+    b = oc.Planet(
+        name="b",
+        basis="Visual{KepOrbit}",
+        variables=dict(
+            a=dist.Uniform(0.001, 100.0),
+            e=0.2, i=0.6, omega=1.0, Omega=2.0,
+            tp=dist.Uniform(56000.0, 58000.0),
+            mass=dist.Uniform(0.0, 100.0),
+        ),
+        observations=[astrom],
+    )
+    system = oc.System(
+        name="comp",
+        variables=dict(
+            M=dist.truncated(dist.Normal(1.2, 0.1), lower=0.1),
+            plx=dist.truncated(dist.Normal(50.0, 0.02), lower=0.1),
+        ),
+        companions=[b],
+    )
+    model = oc.LogDensityModel(system, verbosity=0)
+
+    def sampler(m):
+        return oc.octofit(m, chains=2, adaptation=150, iterations=100,
+                          max_depth=7, verbosity=0)
+
+    cmap, results = completeness_map(
+        model,
+        sampler,
+        # detection: posterior sma well constrained near injected value
+        lambda chain, theta: chain.flat("b_a").std() < 5.0,
+        inject=lambda m, s: {"b_mass": m, "b_a": s},
+        masses=[10.0],
+        separations=[10.0],
+        n_trials=2,
+        verbosity=0,
+    )
+    assert cmap.n_total.sum() == 2
+    assert cmap.completeness.shape == (1, 1)
+    assert 0.0 <= cmap.completeness[0, 0] <= 1.0
