@@ -76,7 +76,7 @@ from .images import ImageObs, LogLikelihoodMapObs
 from .transits import LightCurveObs
 from . import io as octo_io
 from .io import savechain, loadchain
-from .samplers import octofit, octofit_rejection, octofit_pigeons
+from .samplers import octofit, octofit_rejection, octofit_pigeons, octofit_nested
 from .chains import Chains, ess_rhat
 
 __version__ = "0.1.0"

@@ -3,11 +3,14 @@
 from .driver import octofit, octofit_rejection
 from .nuts import run_nuts, nuts_step
 from .tempering import octofit_pigeons
+from .nested import octofit_nested, dysample
 
 __all__ = [
     "octofit",
     "octofit_rejection",
     "octofit_pigeons",
+    "octofit_nested",
+    "dysample",
     "run_nuts",
     "nuts_step",
 ]

@@ -74,3 +74,21 @@ def test_pt_astrometry_smoke():
     # the target-chain samples should concentrate near the truth for e
     e = chain.flat("b_e")
     assert abs(np.median(e) - TRUE["e"]) < 0.25
+
+
+def test_nested_sampling_conjugate():
+    """Batched nested sampling: posterior + evidence on the conjugate
+    Normal-Normal model (replaces the Dynesty extension)."""
+    import math
+
+    from octofitter_tpu.samplers.nested import octofit_nested
+
+    model = conjugate_model()
+    chain, info = octofit_nested(
+        model, key=jax.random.PRNGKey(0), n_live=500, verbosity=0
+    )
+    logz_true = -0.5 * (1.0 / 1.25) - 0.5 * math.log(2 * math.pi * 1.25)
+    assert abs(info["logz"] - logz_true) < 0.15
+    x = chain.flat("x")
+    assert abs(x.mean() - 0.8) < 0.05
+    assert abs(x.var() - 0.2) < 0.05
