@@ -72,13 +72,13 @@ class Distribution:
 
 
 def _in_support(d: Distribution, x, lp):
+    # array-safe: supports scalar or stacked (array-valued) bounds
     lo, hi = d.support
-    ok = jnp.ones_like(x, dtype=bool)
-    if lo != -math.inf:
-        ok = ok & (x > lo)
-    if hi != math.inf:
-        ok = ok & (x < hi)
-    return jnp.where(ok, lp, -jnp.inf)
+    lo = jnp.asarray(lo, dtype=jnp.result_type(x))
+    hi = jnp.asarray(hi, dtype=jnp.result_type(x))
+    ok_lo = jnp.where(jnp.isneginf(lo), True, x > lo)
+    ok_hi = jnp.where(jnp.isposinf(hi), True, x < hi)
+    return jnp.where(ok_lo & ok_hi, lp, -jnp.inf)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -88,7 +88,7 @@ class Normal(Distribution):
 
     def logpdf(self, x):
         z = (x - self.mu) / self.sigma
-        return -0.5 * z * z - math.log(self.sigma) - _LOG_SQRT_2PI
+        return -0.5 * z * z - jnp.log(jnp.asarray(self.sigma)) - _LOG_SQRT_2PI
 
     def sample(self, key, shape=()):
         return self.mu + self.sigma * jax.random.normal(key, shape)
@@ -106,7 +106,7 @@ class Uniform(Distribution):
     b: float = 1.0
 
     def logpdf(self, x):
-        lp = jnp.full_like(x, -math.log(self.b - self.a))
+        lp = jnp.broadcast_to(-jnp.log(jnp.asarray(self.b) - self.a), jnp.shape(x))
         return _in_support(self, x, lp)
 
     def sample(self, key, shape=()):
@@ -132,7 +132,7 @@ class LogNormal(Distribution):
         safe_x = jnp.where(x > 0, x, 1.0)
         lx = jnp.log(safe_x)
         z = (lx - self.mu) / self.sigma
-        lp = -0.5 * z * z - lx - math.log(self.sigma) - _LOG_SQRT_2PI
+        lp = -0.5 * z * z - lx - jnp.log(jnp.asarray(self.sigma)) - _LOG_SQRT_2PI
         return jnp.where(x > 0, lp, -jnp.inf)
 
     def sample(self, key, shape=()):
@@ -157,12 +157,12 @@ class LogUniform(Distribution):
 
     def logpdf(self, x):
         safe_x = jnp.where(x > 0, x, 1.0)
-        lp = -jnp.log(safe_x) - math.log(math.log(self.b / self.a))
+        lp = -jnp.log(safe_x) - jnp.log(jnp.log(jnp.asarray(self.b) / self.a))
         return _in_support(self, x, lp)
 
     def sample(self, key, shape=()):
         u = jax.random.uniform(key, shape)
-        return self.a * jnp.exp(u * math.log(self.b / self.a))
+        return self.a * jnp.exp(u * jnp.log(jnp.asarray(self.b) / self.a))
 
     @property
     def support(self):
@@ -185,7 +185,7 @@ class Exponential(Distribution):
     theta: float = 1.0
 
     def logpdf(self, x):
-        lp = -x / self.theta - math.log(self.theta)
+        lp = -x / self.theta - jnp.log(jnp.asarray(self.theta))
         return jnp.where(x >= 0, lp, -jnp.inf)
 
     def sample(self, key, shape=()):
@@ -208,8 +208,11 @@ class Beta(Distribution):
     beta: float = 1.0
 
     def logpdf(self, x):
-        a, b = self.alpha, self.beta
-        lbeta = math.lgamma(a) + math.lgamma(b) - math.lgamma(a + b)
+        from jax.scipy.special import gammaln
+
+        a = jnp.asarray(self.alpha)
+        b = jnp.asarray(self.beta)
+        lbeta = gammaln(a) + gammaln(b) - gammaln(a + b)
         safe_x = jnp.clip(x, 1e-300, 1 - 1e-16)
         lp = (a - 1) * jnp.log(safe_x) + (b - 1) * jnp.log1p(-safe_x) - lbeta
         return _in_support(self, x, lp)
@@ -239,11 +242,13 @@ class Gamma(Distribution):
     def logpdf(self, x):
         a, t = self.alpha, self.theta
         safe_x = jnp.where(x > 0, x, 1.0)
+        from jax.scipy.special import gammaln
+
         lp = (
             (a - 1) * jnp.log(safe_x)
             - safe_x / t
-            - math.lgamma(a)
-            - a * math.log(t)
+            - gammaln(jnp.asarray(a))
+            - a * jnp.log(jnp.asarray(t))
         )
         return jnp.where(x > 0, lp, -jnp.inf)
 
@@ -279,15 +284,18 @@ class TruncatedNormal(Distribution):
     upper: float = math.inf
 
     def _log_z(self):
-        za = (self.lower - self.mu) / self.sigma
-        zb = (self.upper - self.mu) / self.sigma
-        return math.log(_norm_cdf(zb) - _norm_cdf(za))
+        from jax.scipy.special import erfc
+
+        za = (jnp.asarray(self.lower) - self.mu) / self.sigma
+        zb = (jnp.asarray(self.upper) - self.mu) / self.sigma
+        cdf = lambda z: 0.5 * erfc(-jnp.clip(z, -38.0, 38.0) / _SQRT2)
+        return jnp.log(cdf(zb) - cdf(za))
 
     def logpdf(self, x):
         z = (x - self.mu) / self.sigma
         lp = (
             -0.5 * z * z
-            - math.log(self.sigma)
+            - jnp.log(jnp.asarray(self.sigma))
             - _LOG_SQRT_2PI
             - self._log_z()
         )

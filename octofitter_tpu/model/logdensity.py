@@ -219,55 +219,119 @@ class LogDensityModel:
 
         return arr2nt
 
+    # -- grouped (vectorized) prior/bijector machinery --------------------
+    # The reference metaprograms one unrolled expression per parameter
+    # (`make_ln_prior_transformed`, `variables.jl:1205`). On TPU, D
+    # scalar subgraphs are overhead-bound; instead parameters are
+    # grouped by distribution/bijector class and evaluated as a handful
+    # of stacked array ops per class.
+
+    def _dist_groups(self):
+        if not hasattr(self, "_dist_groups_cache"):
+            import dataclasses as _dc
+
+            groups = {}
+            singles = []
+            for i, (_, _, dist, _) in enumerate(self._prior_entries):
+                if _dc.is_dataclass(dist) and type(dist).__module__.endswith(
+                    "distributions"
+                ):
+                    groups.setdefault(type(dist), []).append(i)
+                else:
+                    singles.append(i)
+            out = []
+            for cls, idxs in groups.items():
+                fields = [f.name for f in _dc.fields(cls)]
+                stacked = cls(
+                    **{
+                        f: np.asarray(
+                            [getattr(self._prior_entries[j][2], f) for j in idxs]
+                        )
+                        for f in fields
+                    }
+                ) if fields else cls()
+                out.append((np.asarray(idxs), stacked))
+            self._dist_groups_cache = (out, singles)
+        return self._dist_groups_cache
+
+    def _bij_groups(self):
+        if not hasattr(self, "_bij_groups_cache"):
+            import dataclasses as _dc
+
+            groups = {}
+            for i, (_, _, _, bij) in enumerate(self._prior_entries):
+                groups.setdefault(type(bij), []).append(i)
+            out = []
+            for cls, idxs in groups.items():
+                fields = [f.name for f in _dc.fields(cls)]
+                stacked = cls(
+                    **{
+                        f: np.asarray(
+                            [getattr(self._prior_entries[j][3], f) for j in idxs]
+                        )
+                        for f in fields
+                    }
+                ) if fields else cls()
+                out.append((np.asarray(idxs), stacked))
+            # permutation restoring original ordering after concatenation
+            order = np.concatenate([idxs for idxs, _ in out])
+            perm = np.argsort(order)
+            self._bij_groups_cache = (out, perm)
+        return self._bij_groups_cache
+
     def _make_link(self):
-        bijectors = [e[3] for e in self._prior_entries]
+        groups, perm = self._bij_groups()
 
         def link(theta):
             theta = jnp.asarray(theta)
-            return jnp.stack(
-                [bijectors[i].forward(theta[..., i]) for i in range(self.D)],
-                axis=-1,
-            )
+            parts = [
+                bij.forward(theta[..., idx]) for idx, bij in groups
+            ]
+            return jnp.concatenate(parts, axis=-1)[..., perm]
 
         return link
 
     def _make_invlink(self):
-        bijectors = [e[3] for e in self._prior_entries]
+        groups, perm = self._bij_groups()
 
         def invlink(theta_t):
             theta_t = jnp.asarray(theta_t)
-            return jnp.stack(
-                [bijectors[i].inverse(theta_t[..., i]) for i in range(self.D)],
-                axis=-1,
-            )
+            parts = [
+                bij.inverse(theta_t[..., idx]) for idx, bij in groups
+            ]
+            return jnp.concatenate(parts, axis=-1)[..., perm]
 
         return invlink
 
     def _make_ln_prior(self):
+        groups, singles = self._dist_groups()
         dists = [e[2] for e in self._prior_entries]
 
         def ln_prior(theta):
             theta = jnp.asarray(theta)
             lp = jnp.zeros(theta.shape[:-1])
-            for i, d in enumerate(dists):
-                lp = lp + d.logpdf(theta[..., i])
+            for idx, dist in groups:
+                lp = lp + jnp.sum(dist.logpdf(theta[..., idx]), axis=-1)
+            for i in singles:
+                lp = lp + dists[i].logpdf(theta[..., i])
             return lp
 
         return ln_prior
 
     def _make_ln_prior_transformed(self):
-        dists = [e[2] for e in self._prior_entries]
-        bijectors = [e[3] for e in self._prior_entries]
+        ln_prior = self._make_ln_prior()
+        invlink = self._make_invlink()
+        bgroups, _ = self._bij_groups()
 
         def ln_prior_t(theta_t):
             # logpdf(x) + log|dx/dy| summed over parameters
             # (Bijectors.jl `logpdf_with_trans`, `variables.jl:1205-1369`)
             theta_t = jnp.asarray(theta_t)
-            lp = jnp.zeros(theta_t.shape[:-1])
-            for i in range(self.D):
-                y = theta_t[..., i]
-                x = bijectors[i].inverse(y)
-                lp = lp + dists[i].logpdf(x) + bijectors[i].logabsdet_inverse(y)
+            lp = ln_prior(invlink(theta_t))
+            for idx, bij in bgroups:
+                lp = lp + jnp.sum(
+                    bij.logabsdet_inverse(theta_t[..., idx]), axis=-1
+                )
             return lp
 
         return ln_prior_t
@@ -340,17 +404,28 @@ class LogDensityModel:
     # ----------------------------------------------------------------------
     def sample_priors(self, key, n: int | None = None):
         """IID draws from the priors, flat natural space
-        (`make_prior_sampler`, `variables.jl:1372`)."""
+        (`make_prior_sampler`, `variables.jl:1372`); grouped by
+        distribution class so a model draws in a few vector ops."""
+        groups, singles = self._dist_groups()
         dists = [e[2] for e in self._prior_entries]
-        if n is None:
-            keys = jax.random.split(key, self.D)
-            return jnp.stack(
-                [d.sample(k) for d, k in zip(dists, keys)], axis=-1
-            )
-        keys = jax.random.split(key, self.D)
-        return jnp.stack(
-            [d.sample(k, (n,)) for d, k in zip(dists, keys)], axis=-1
-        )
+        n_groups = len(groups) + len(singles)
+        keys = jax.random.split(key, n_groups)
+        parts = []
+        order = []
+        ki = 0
+        for idx, dist in groups:
+            k = len(idx)
+            shape = (k,) if n is None else (n, k)
+            parts.append(dist.sample(keys[ki], shape))
+            order.append(idx)
+            ki += 1
+        for i in singles:
+            shape = (1,) if n is None else (n, 1)
+            parts.append(jnp.reshape(dists[i].sample(keys[ki], shape[:-1] or ()), shape))
+            order.append(np.asarray([i]))
+            ki += 1
+        perm = np.argsort(np.concatenate(order))
+        return jnp.concatenate(parts, axis=-1)[..., perm]
 
     def drawfrompriors(self, key):
         """Structured prior draw (`drawfrompriors`, `variables.jl:1507`)."""
