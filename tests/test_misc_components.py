@@ -253,3 +253,63 @@ def test_completeness_map_tiny():
     assert cmap.n_total.sum() == 2
     assert cmap.completeness.shape == (1, 1)
     assert 0.0 <= cmap.completeness[0, 0] <= 1.0
+
+
+# ---------------------------------------------------------------------------
+# GRAVITY wide kernel phases
+def test_gravity_kp_likelihood():
+    from octofitter_tpu.interferometry import GRAVITYWideKPObs, fiber_coupling_fraction
+
+    # fiber coupling: ~1 at zero offset, decreasing with offset
+    c = fiber_coupling_fraction([0.0, 20.0, 60.0], 2.2e-6, n_grid=200)
+    assert c[0] > 0.95
+    assert c[0] > c[1] > c[2]
+
+    rng = np.random.default_rng(0)
+    n_wave = 4
+    eff_wave = np.linspace(2.0e-6, 2.4e-6, n_wave)
+    # 6 baselines, 4 triangles (VLTI)
+    u = rng.uniform(-1e8, 1e8, (6, n_wave))
+    v = rng.uniform(-1e8, 1e8, (6, n_wave))
+    i1, i2, i3 = np.array([0, 0, 1, 3]), np.array([3, 4, 5, 4]), np.array([1, 2, 2, 5])
+
+    sol = orbitsolve(VisualOrbit.from_params(**TRUE_VIS), jnp.asarray(57000.0))
+    cvis = cvis_point_sources(
+        jnp.asarray(u), jnp.asarray(v),
+        [jnp.asarray(float(raoff(sol)))], [jnp.asarray(float(decoff(sol)))],
+        [jnp.asarray(TRUE_CONTRAST)],
+    )
+    cps = np.asarray(closure_phases_deg(cvis, i1, i2, i3))
+    row = dict(
+        epoch=57000.0, u=u, v=v, eff_wave=eff_wave,
+        cps_data=cps + 0.2 * rng.standard_normal(cps.shape),
+        dcps=np.full(cps.shape, 0.2),
+        index_cps1=i1, index_cps2=i2, index_cps3=i3,
+    )
+    obs = GRAVITYWideKPObs([row], variables=dict(
+        flux=dist.Uniform(0.0, 0.2),
+        kp_jitter=dist.LogUniform(1e-3, 1.0),
+        kp_Cy=dist.Uniform(0.0, 0.9),
+    ), name="GRAV")
+    b = oc.Planet(
+        name="b", basis="Visual{KepOrbit}",
+        variables={k: v for k, v in TRUE_VIS.items() if k not in ("M", "plx")},
+    )
+    model = oc.LogDensityModel(
+        oc.System(name="grav", variables=dict(M=TRUE_VIS["M"], plx=TRUE_VIS["plx"]),
+                  companions=[b], observations=[obs]),
+        verbosity=0,
+    )
+    names = model.parameter_names
+    def ll_at(f):
+        flat = np.zeros(model.D)
+        flat[names.index("GRAV_flux")] = f
+        flat[names.index("GRAV_kp_jitter")] = 0.05
+        flat[names.index("GRAV_kp_Cy")] = 0.1
+        return float(model.ln_like_nt(model.arr2nt(jnp.asarray(flat))))
+    lls = [ll_at(f) for f in np.linspace(0.005, 0.05, 10)]
+    best = np.linspace(0.005, 0.05, 10)[int(np.argmax(lls))]
+    assert abs(best - TRUE_CONTRAST) < 0.01
+    theta_t = model.link(jnp.asarray([0.02, 0.05, 0.1])[np.argsort([names.index(n) for n in ["GRAV_flux","GRAV_kp_jitter","GRAV_kp_Cy"]])])
+    val, grad = model.ln_post_and_grad(theta_t)
+    assert np.isfinite(float(val)) and np.all(np.isfinite(np.asarray(grad)))
