@@ -31,6 +31,15 @@ from .model import (
     LogDensityModel,
     theta_at_epoch_to_tperi,
     ofti_linear_solve,
+    construct_elements,
+    mcmcchain2result,
+    generate_from_params,
+)
+from .nss import (
+    query_nss,
+    nss_to_starting_point,
+    initialize_from_nss,
+    nss_to_model_chain,
 )
 from .likelihoods import (
     PlanetRelAstromObs,

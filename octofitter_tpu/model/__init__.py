@@ -18,6 +18,8 @@ from .variables import (
 )
 from .logdensity import LogDensityModel
 from .parameterizations import theta_at_epoch_to_tperi, ofti_linear_solve
+from .chain_tools import construct_elements, mcmcchain2result, chain_to_flat
+from .generate import generate_from_params
 
 __all__ = [
     "Params",
@@ -38,4 +40,8 @@ __all__ = [
     "LogDensityModel",
     "theta_at_epoch_to_tperi",
     "ofti_linear_solve",
+    "construct_elements",
+    "mcmcchain2result",
+    "chain_to_flat",
+    "generate_from_params",
 ]
