@@ -69,6 +69,8 @@ from .astrom import (
     HGCALikelihood,
     GaiaDR4AstromObs,
     GaiaDR4Astrom,
+    G23HObs,
+    G23HLikelihood,
 )
 from .orbits import AbsoluteVisualOrbit
 from . import interferometry

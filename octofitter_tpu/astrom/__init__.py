@@ -40,6 +40,7 @@ from .hipparcos import (
 from .gaia import GaiaCatalogFitLikelihood, GaiaCatalogFitObs
 from .hgca_linfit import HGCALikelihood, HGCAObs
 from .gaia_dr4 import GaiaDR4Astrom, GaiaDR4AstromObs
+from .g23h import G23HObs, G23HLikelihood, noncentral_chi2_logpdf
 
 __all__ = [
     "earth_position_au",
@@ -77,4 +78,7 @@ __all__ = [
     "HGCALikelihood",
     "GaiaDR4Astrom",
     "GaiaDR4AstromObs",
+    "G23HObs",
+    "G23HLikelihood",
+    "noncentral_chi2_logpdf",
 ]

@@ -1,0 +1,590 @@
+"""G23H composite absolute-astrometry likelihood.
+
+TPU-native equivalent of `/root/reference/src/likelihoods/g23h.jl`
+(`G23HObs`, the reference's flagship ~3000-line likelihood): a joint
+model of the G23H catalog channels
+
+  1-2   Hipparcos-epoch proper motion        (per-scan BINARYS sim + LSQ)
+  3-4   Hip->DR3 positional proper motion
+  5-6   Gaia DR2 proper motion               (per-scan sim + LSQ)
+  7-8   DR3-DR2 scaled positional PM
+  9-10  Gaia DR3 proper motion               (per-scan sim + LSQ)
+  11    UEVA (RUWE / astrometric excess noise) with the cube-root
+        transform, single-star calibration (paper Eqs. D.8/D.9), the
+        change-of-variables Jacobian, and DR3/DR32 covariance deflation
+plus the Hipparcos IAD residual channel (offset+trend nuisances) and
+the Gaia RV-variability channel (non-central chi^2 on the catalog RV
+scatter, Chance et al. 2022).
+
+All per-scan loops are vectorized; the 5-parameter refits are
+differentiable QR solves; per-sample channel math is fixed-shape jnp.
+
+Differences from the reference in this round (documented, not silent):
+  - `missed_transits` / per-sample `transits_dr2` re-selection is not
+    yet marginalized (the scan windows are fixed at construction);
+  - the DR2<->DR3 cross-covariance uses the catalog `rho_dr2_dr3`
+    applied to the PM blocks (the reference's central-position
+    propagation is approximated).
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.scipy.special import gammaln, logsumexp
+
+from ..constants import J2000_MJD, JULIAN_YEAR_DAYS, MJUP2MSOL
+from ..likelihoods.utils import take_epochs
+from ..model.params import Params, hasproperty
+from ..model.variables import AbstractObs, SystemObservationContext
+from ..orbits import AbsoluteVisualOrbit, orbitsolve, radvel
+from .fitting import fit_5param
+from .gaia import GaiaCatalogFitObs
+from .hipparcos import HipparcosIADObs
+from .scanlaw import GAIA_AGIS_SPAN_DR2, GAIA_AGIS_SPAN_DR3
+from .skypath import hippacentre_combined, skypath_perturbations_linear
+
+_CHANNELS = [
+    "ra_hip", "dec_hip", "ra_hg", "dec_hg", "ra_dr2", "dec_dr2",
+    "ra_dr32", "dec_dr32", "ra_dr3", "dec_dr3", "ueva_dr3",
+]
+
+
+def noncentral_chi2_logpdf(x, df, nc, n_terms: int = 64):
+    """log pdf of the noncentral chi-squared via the Poisson-mixture
+    series (differentiable; used by the Gaia RV channel)."""
+    j = jnp.arange(n_terms)
+    # Poisson(nc/2) weights
+    log_w = -nc / 2 + j * jnp.log(jnp.maximum(nc / 2, 1e-300)) - gammaln(j + 1)
+    k = df + 2 * j
+    log_chi2 = (
+        (k / 2 - 1) * jnp.log(jnp.maximum(x, 1e-300))
+        - x / 2
+        - (k / 2) * math.log(2.0)
+        - gammaln(k / 2)
+    )
+    return logsumexp(log_w + log_chi2)
+
+
+def _jyear_to_mjd(jy):
+    return (jy - 2000.0) * JULIAN_YEAR_DAYS + J2000_MJD
+
+
+_REQ_CAT = [
+    "pmra_dr3", "pmdec_dr3", "pmra_dr3_error", "pmdec_dr3_error", "pmra_pmdec_dr3",
+    "pmra_dr2", "pmdec_dr2", "pmra_dr2_error", "pmdec_dr2_error", "pmra_pmdec_dr2",
+    "pmra_dr32", "pmdec_dr32", "pmra_dr32_error", "pmdec_dr32_error", "pmra_pmdec_dr32",
+    "epoch_ra_dr3_mjd", "epoch_dec_dr3_mjd", "epoch_ra_dr2_mjd", "epoch_dec_dr2_mjd",
+    "astrometric_chi2_al_dr3", "astrometric_n_good_obs_al_dr3",
+    "astrometric_matched_transits_dr3",
+]
+
+
+class G23HObs(AbstractObs):
+    """G23H composite likelihood.
+
+    Parameters:
+      catalog: dict of G23H catalog fields for one source. Hip channels
+        are enabled when `pmra_hip`/... are present; UEVA per
+        `ueva_mode`; RV per `include_rv` + `radial_velocity_error`.
+      hip_like: HipparcosIADObs (required for the Hip channels).
+      gaia_like: GaiaCatalogFitObs whose scan table spans the DR2+DR3
+        windows (design matrices are rebuilt against each release's
+        reference epochs internally).
+      ueva_mode: "RUWE" (default), "EAN", or "none".
+      include_iad / include_rv: toggle those channels.
+
+    Observation variables: σ_att, σ_AL, σ_calib (UEVA calibration),
+    fluxratio / fluxratio_hip (arrays over planets), and — when
+    include_iad — iad_Δra, iad_Δdec, iad_pmra, iad_pmdec, iad_Δplx,
+    hip_iad_jitter; when include_rv — σ_rv_per_transit [km/s].
+    """
+
+    def __init__(
+        self,
+        *,
+        catalog: dict,
+        gaia_like: GaiaCatalogFitObs,
+        hip_like: HipparcosIADObs | None = None,
+        ueva_mode: str = "RUWE",
+        include_iad: bool = True,
+        include_rv: bool = True,
+        variables=None,
+        name="G23H",
+    ):
+        super().__init__(variables=variables, name=name)
+        missing = [k for k in _REQ_CAT if k not in catalog]
+        if missing:
+            raise ValueError(f"G23H catalog row missing {missing}")
+        self.catalog = {
+            k: (float(np.asarray(v)) if np.ndim(v) == 0 else v)
+            for k, v in catalog.items()
+        }
+        self.gaia_like = gaia_like
+        self.hip_like = hip_like
+        self.ueva_mode = ueva_mode
+        self.include_iad = include_iad and hip_like is not None
+        self.has_hip = hip_like is not None and "pmra_hip" in catalog
+        self.include_rv = include_rv and "radial_velocity_error" in catalog
+
+        # active channels (`like.table.kind`)
+        kinds = []
+        if self.has_hip:
+            kinds += ["ra_hip", "dec_hip", "ra_hg", "dec_hg"]
+        kinds += ["ra_dr2", "dec_dr2", "ra_dr32", "dec_dr32", "ra_dr3", "dec_dr3"]
+        if ueva_mode != "none":
+            kinds += ["ueva_dr3"]
+        self.kinds = kinds
+
+        gt = gaia_like.table
+        ep = gt["epoch"]
+        self._dr3_sel = np.nonzero(
+            (ep >= GAIA_AGIS_SPAN_DR3["start_mjd"]) & (ep <= GAIA_AGIS_SPAN_DR3["stop_mjd"])
+        )[0]
+        self._dr2_sel = np.nonzero(
+            (ep >= GAIA_AGIS_SPAN_DR2["start_mjd"]) & (ep <= GAIA_AGIS_SPAN_DR2["stop_mjd"])
+        )[0]
+        if len(self._dr3_sel) < 6 or len(self._dr2_sel) < 6:
+            raise ValueError("gaia scan table does not cover the DR2/DR3 windows")
+
+        from .fitting import prepare_A_5param
+
+        def prep(sel, ref_ra, ref_dec):
+            return prepare_A_5param(
+                ep[sel], gt["cosphi"][sel], gt["sinphi"][sel],
+                gt["parallaxFactorAlongScan"][sel], ref_ra, ref_dec,
+            )
+
+        self.A5_dr3 = prep(
+            self._dr3_sel, self.catalog["epoch_ra_dr3_mjd"], self.catalog["epoch_dec_dr3_mjd"]
+        )
+        self.A5_dr2 = prep(
+            self._dr2_sel, self.catalog["epoch_ra_dr2_mjd"], self.catalog["epoch_dec_dr2_mjd"]
+        )
+
+        # epoch registration: hip scans then gaia scans
+        n_hip = len(hip_like.table["epoch"]) if hip_like is not None else 0
+        self.n_hip = n_hip
+        self.n_gaia = len(ep)
+        self.table = {
+            "epoch": np.concatenate(
+                ([hip_like.table["epoch"]] if hip_like is not None else [])
+                + [ep]
+            )
+        }
+
+        # gaia dof (`g23h.jl:1703`)
+        self.gaia_n_dof = 5 if int(self.catalog.get("astrometric_params_solved_dr3", 31)) == 31 else 6
+
+    @property
+    def epochs(self):
+        return self.table["epoch"]
+
+    # ------------------------------------------------------------------
+    def _fluxratio(self, theta_obs, key, i):
+        if isinstance(theta_obs, Params) and key in theta_obs:
+            fr = theta_obs[key]
+            return fr if jnp.ndim(fr) == 0 else fr[i]
+        return jnp.asarray(0.0)
+
+    def _propagate_astrom(self, orbit, epoch_ra, epoch_dec, theta):
+        if isinstance(orbit, AbsoluteVisualOrbit):
+            sol_ra = orbitsolve(orbit, jnp.asarray(epoch_ra))
+            sol_dec = orbitsolve(orbit, jnp.asarray(epoch_dec))
+            t1 = max(epoch_ra, epoch_dec)
+            dt = 100.0
+            sol = sol_ra if epoch_ra >= epoch_dec else sol_dec
+            sol2 = orbitsolve(orbit, jnp.asarray(t1 + dt))
+            lt = (sol2.compensated.t_em_days - sol.compensated.t_em_days - dt) / dt
+            return (
+                sol_ra.compensated.ra2,
+                sol_dec.compensated.dec2,
+                sol_ra.compensated.pmra2 + lt * sol.compensated.pmra2,
+                sol_dec.compensated.pmdec2 + lt * sol.compensated.pmdec2,
+            )
+        return jnp.asarray(0.0), jnp.asarray(0.0), theta.pmra, theta.pmdec
+
+    # ------------------------------------------------------------------
+    def simulate(self, ctx: SystemObservationContext):
+        theta = ctx.theta_system
+        theta_obs = ctx.theta_obs
+        cat = self.catalog
+        pnames = list(theta.planets.keys())
+        n_p = len(pnames)
+        masses = [
+            theta.planets[p].mass * MJUP2MSOL if hasproperty(theta.planets[p], "mass") else jnp.asarray(0.0)
+            for p in pnames
+        ]
+        sigma_att = theta_obs.get("σ_att", jnp.asarray(0.1)) if isinstance(theta_obs, Params) else jnp.asarray(0.1)
+        sigma_AL = theta_obs.get("σ_AL", jnp.asarray(0.1)) if isinstance(theta_obs, Params) else jnp.asarray(0.1)
+        sigma_calib = theta_obs.get("σ_calib", jnp.asarray(0.1)) if isinstance(theta_obs, Params) else jnp.asarray(0.1)
+        sigma_formal = jnp.sqrt(sigma_att**2 + sigma_AL**2)
+
+        gt = self.gaia_like.table
+        absolute = isinstance(ctx.orbits[0], AbsoluteVisualOrbit) if n_p else False
+
+        # ---- DR3 window -----------------------------------------------
+        sel3 = self._dr3_sel
+        d_a3 = jnp.zeros(len(sel3))
+        d_d3 = jnp.zeros(len(sel3))
+        for i in range(n_p):
+            sol_g = take_epochs(ctx.solutions[i], ctx.epoch_start + self.n_hip, self.n_gaia)
+            da, dd = skypath_perturbations_linear(
+                sol_g, ctx.orbits[i], masses[i], self._fluxratio(theta_obs, "fluxratio", i)
+            )
+            active = jnp.where(masses[i] != 0, 1.0, 0.0)
+            d_a3 = d_a3 + active * da[sel3]
+            d_d3 = d_d3 + active * dd[sel3]
+        out3 = fit_5param(
+            self.A5_dr3,
+            jnp.asarray(gt["cosphi"][sel3]),
+            jnp.asarray(gt["sinphi"][sel3]),
+            d_a3, d_d3, sigma=sigma_formal, include_chi2=True,
+        )
+        da3, dd3, dpmra3, dpmdec3, _ = out3["parameters"]
+        ra30, dec30, pmra30, pmdec30 = self._propagate_astrom(
+            ctx.orbits[0] if n_p else None,
+            cat["epoch_ra_dr3_mjd"], cat["epoch_dec_dr3_mjd"], theta,
+        ) if n_p else (jnp.asarray(0.0), jnp.asarray(0.0), theta.pmra, theta.pmdec)
+        mu_dr3 = jnp.stack([pmra30 + dpmra3, pmdec30 + dpmdec3])
+
+        # ---- DR2 window -----------------------------------------------
+        sel2 = self._dr2_sel
+        d_a2 = jnp.zeros(len(sel2))
+        d_d2 = jnp.zeros(len(sel2))
+        for i in range(n_p):
+            sol_g = take_epochs(ctx.solutions[i], ctx.epoch_start + self.n_hip, self.n_gaia)
+            da, dd = skypath_perturbations_linear(
+                sol_g, ctx.orbits[i], masses[i], self._fluxratio(theta_obs, "fluxratio", i)
+            )
+            active = jnp.where(masses[i] != 0, 1.0, 0.0)
+            d_a2 = d_a2 + active * da[sel2]
+            d_d2 = d_d2 + active * dd[sel2]
+        out2 = fit_5param(
+            self.A5_dr2,
+            jnp.asarray(gt["cosphi"][sel2]),
+            jnp.asarray(gt["sinphi"][sel2]),
+            d_a2, d_d2,
+        )
+        da2, dd2, dpmra2, dpmdec2, _ = out2["parameters"]
+        ra20, dec20, pmra20, pmdec20 = self._propagate_astrom(
+            ctx.orbits[0] if n_p else None,
+            cat["epoch_ra_dr2_mjd"], cat["epoch_dec_dr2_mjd"], theta,
+        ) if n_p else (jnp.asarray(0.0), jnp.asarray(0.0), theta.pmra, theta.pmdec)
+        mu_dr2 = jnp.stack([pmra20 + dpmra2, pmdec20 + dpmdec2])
+
+        # ---- Hipparcos -------------------------------------------------
+        deg2mas = 3600.0 * 1000.0
+        sigma_infl_hip = None
+        iad_resid = None
+        if self.has_hip:
+            ht = self.hip_like.table
+            n_hip = self.n_hip
+            sols_h = [take_epochs(s, ctx.epoch_start, n_hip) for s in ctx.solutions]
+            frh = [
+                jnp.where(masses[i] != 0, self._fluxratio(theta_obs, "fluxratio_hip", i), 0.0)
+                for i in range(n_p)
+            ]
+            cphi = jnp.asarray(ht["cosphi"])
+            sphi = jnp.asarray(ht["sinphi"])
+            d_ah, d_dh, sigma_infl_hip = hippacentre_combined(
+                cphi, sphi, sols_h, masses, frh
+            )
+            resid_term = jnp.asarray(ht["res"]) if self.include_iad else 0.0
+            outh = fit_5param(
+                jnp.asarray(self.hip_like.A_prepared_5),
+                cphi, sphi, d_ah, d_dh,
+                residuals=resid_term,
+                sigma=jnp.asarray(ht["sres"]),
+            )
+            dah, ddh, dpmrah, dpmdech, _ = outh["parameters"]
+            rah0, dech0, pmrah0, pmdech0 = self._propagate_astrom(
+                ctx.orbits[0] if n_p else None,
+                _jyear_to_mjd(cat["epoch_ra_hip"]), _jyear_to_mjd(cat["epoch_dec_hip"]), theta,
+            ) if n_p else (jnp.asarray(0.0), jnp.asarray(0.0), theta.pmra, theta.pmdec)
+            mu_h = jnp.stack([pmrah0 + dpmrah, pmdech0 + dpmdech])
+
+            # HG channel
+            if absolute:
+                d_ra_prop = (ra30 - rah0) * deg2mas * jnp.cos(jnp.deg2rad((dec30 + dech0) / 2))
+                d_dec_prop = (dec30 - dech0) * deg2mas
+                pmra_hg = (da3 - dah + d_ra_prop) / (
+                    cat["epoch_ra_dr3_mjd"] - _jyear_to_mjd(cat["epoch_ra_hip"])
+                ) * JULIAN_YEAR_DAYS
+                pmdec_hg = (dd3 - ddh + d_dec_prop) / (
+                    cat["epoch_dec_dr3_mjd"] - _jyear_to_mjd(cat["epoch_dec_hip"])
+                ) * JULIAN_YEAR_DAYS
+            else:
+                pmra_hg = (da3 - dah) / (
+                    cat["epoch_ra_dr3_mjd"] - _jyear_to_mjd(cat["epoch_ra_hip"])
+                ) * JULIAN_YEAR_DAYS + theta.pmra
+                pmdec_hg = (dd3 - ddh) / (
+                    cat["epoch_dec_dr3_mjd"] - _jyear_to_mjd(cat["epoch_dec_hip"])
+                ) * JULIAN_YEAR_DAYS + theta.pmdec
+            mu_hg = jnp.stack([pmra_hg, pmdec_hg])
+
+            # IAD residual channel (offset + trend nuisances,
+            # `g23h.jl:2222-2280`)
+            if self.include_iad:
+                iad_dra = theta_obs.get("iad_Δra", jnp.asarray(0.0))
+                iad_ddec = theta_obs.get("iad_Δdec", jnp.asarray(0.0))
+                iad_pmra = theta_obs.get("iad_pmra", jnp.asarray(0.0))
+                iad_pmdec = theta_obs.get("iad_pmdec", jnp.asarray(0.0))
+                iad_dplx = theta_obs.get("iad_Δplx", jnp.asarray(0.0))
+                plx_ep = self.hip_like.hip_sol["plx"] + iad_dplx
+                from ..constants import HIPPARCOS_EPOCH_MJD
+
+                dt_yr = jnp.asarray(
+                    (ht["epoch"] - HIPPARCOS_EPOCH_MJD) / JULIAN_YEAR_DAYS
+                )
+                a_off = (iad_dra - dah) + dt_yr * (iad_pmra - dpmrah) + d_ah
+                d_off = (iad_ddec - ddh) + dt_yr * (iad_pmdec - dpmdech) + d_dh
+                proj_model = (
+                    a_off * cphi + d_off * sphi
+                    + plx_ep * jnp.asarray(ht["parallaxFactorAlongScan"])
+                )
+                iad_resid = jnp.abs(jnp.asarray(ht["proj_meas_alongscan"]) - proj_model)
+        else:
+            mu_h = jnp.zeros(2)
+            mu_hg = jnp.zeros(2)
+
+        # ---- DR3-DR2 ---------------------------------------------------
+        if absolute:
+            d_ra_prop = (ra30 - ra20) * deg2mas * jnp.cos(jnp.deg2rad((dec30 + dec20) / 2))
+            d_dec_prop = (dec30 - dec20) * deg2mas
+            pmra_dr32 = (da3 - da2 + d_ra_prop) / (
+                cat["epoch_ra_dr3_mjd"] - cat["epoch_ra_dr2_mjd"]
+            ) * JULIAN_YEAR_DAYS
+            pmdec_dr32 = (dd3 - dd2 + d_dec_prop) / (
+                cat["epoch_dec_dr3_mjd"] - cat["epoch_dec_dr2_mjd"]
+            ) * JULIAN_YEAR_DAYS
+        else:
+            pmra_dr32 = (da3 - da2) / (
+                cat["epoch_ra_dr3_mjd"] - cat["epoch_ra_dr2_mjd"]
+            ) * JULIAN_YEAR_DAYS + theta.pmra
+            pmdec_dr32 = (dd3 - dd2) / (
+                cat["epoch_dec_dr3_mjd"] - cat["epoch_dec_dr2_mjd"]
+            ) * JULIAN_YEAR_DAYS + theta.pmdec
+        mu_dr32 = jnp.stack([pmra_dr32, pmdec_dr32])
+
+        # ---- UEVA (`g23h.jl:2344-2440`) -------------------------------
+        N = cat["astrometric_n_good_obs_al_dr3"]
+        N_FoV = cat["astrometric_matched_transits_dr3"]
+        N_AL = N / N_FoV
+        dof = self.gaia_n_dof
+        if self.ueva_mode == "EAN":
+            UEVA_gaia = cat["astrometric_excess_noise_dr3"] ** 2 + sigma_att**2 + sigma_AL**2
+        elif self.ueva_mode == "RUWE":
+            ruwe = cat["ruwe_dr3"]
+            u0 = 1.0 / ruwe * math.sqrt(cat["astrometric_chi2_al_dr3"] / (N - dof))
+            UEVA_gaia = (ruwe * u0) ** 2 * sigma_formal**2
+        else:
+            UEVA_gaia = sigma_formal**2
+
+        mu_single = (N_AL / (N - dof)) * ((N_FoV - dof) * sigma_calib**2 + N_FoV * sigma_AL**2)
+        sigma_single = jnp.sqrt(
+            2 * N_AL / (N - dof) ** 2
+            * (
+                N_AL * (N_FoV - dof) * sigma_calib**4
+                + N_FoV * sigma_AL**4
+                + 2 * N_FoV * sigma_AL**2 * sigma_calib**2
+            )
+        )
+        mu_1_3 = UEVA_gaia ** (1.0 / 3.0)
+        UEVA_unc = sigma_single * mu_single ** (-2.0 / 3.0) / 3.0
+
+        n_dr3_modeled = len(sel3)
+        chi2_scaled = out3["chi_squared_astro"] * N_AL * (N_FoV / n_dr3_modeled)
+        UEVA_model_raw = chi2_scaled * sigma_formal**2 / (N - dof)
+        UEVA_model_1 = chi2_scaled * sigma_formal**2 / (N_AL * N_FoV - dof)
+        UEVA_model = jnp.cbrt(UEVA_model_1 + mu_single)
+
+        deflation_raw = jnp.sqrt(mu_single / UEVA_gaia)
+        deflation = (
+            jnp.asarray(1.0)
+            if self.ueva_mode == "none"
+            else jnp.minimum(deflation_raw, 1.0)
+        )
+
+        return {
+            "mu_h": mu_h,
+            "mu_hg": mu_hg,
+            "mu_dr2": mu_dr2,
+            "mu_dr32": mu_dr32,
+            "mu_dr3": mu_dr3,
+            "UEVA_model": UEVA_model,
+            "UEVA_unc": UEVA_unc,
+            "mu_1_3": mu_1_3,
+            "deflation": deflation,
+            "sigma_infl_hip": sigma_infl_hip,
+            "iad_resid": iad_resid,
+            "sigma_att": sigma_att,
+            "sigma_AL": sigma_AL,
+            "absolute": absolute,
+        }
+
+    # ------------------------------------------------------------------
+    def _block(self, prefix):
+        cat = self.catalog
+        s1 = cat[f"pmra_{prefix}_error"]
+        s2 = cat[f"pmdec_{prefix}_error"]
+        rho = cat[f"pmra_pmdec_{prefix}"]
+        return np.array([[s1**2, rho * s1 * s2], [rho * s1 * s2, s2**2]])
+
+    def ln_like(self, ctx: SystemObservationContext):
+        cat = self.catalog
+        theta_obs = ctx.theta_obs
+        sim = self.simulate(ctx)
+        ll = jnp.asarray(0.0)
+
+        # UEVA change-of-variables Jacobian (`g23h.jl:1271-1296`)
+        if "ueva_dr3" in self.kinds:
+            if self.ueva_mode == "EAN" and cat.get("astrometric_excess_noise_dr3", 0.0) > 0:
+                ll = ll - 2 * jnp.log(sim["mu_1_3"])
+            elif self.ueva_mode == "RUWE":
+                ll = ll + (1.0 / 3.0) * jnp.log(sim["sigma_att"] ** 2 + sim["sigma_AL"] ** 2)
+
+        # IAD residual channel (`g23h.jl:1301-1326`)
+        if self.include_iad and sim["iad_resid"] is not None:
+            ht = self.hip_like.table
+            jit = theta_obs.get("hip_iad_jitter", jnp.asarray(0.0))
+            s = jnp.asarray(ht["sres_renorm"]) * sim["sigma_infl_hip"]
+            var = s * s + jit * jit
+            lp = (
+                -0.5 * (sim["iad_resid"] ** 2 / var + jnp.log(var))
+                - 0.5 * math.log(2 * math.pi)
+            )
+            keep = jnp.asarray(~ht["reject"])
+            ll = ll + jnp.sum(jnp.where(keep, lp, 0.0))
+
+        # RV-variability channel (`g23h.jl:1348-1388`); needs RV model at
+        # the gaia scan epochs
+        if self.include_rv and isinstance(theta_obs, Params) and "σ_rv_per_transit" in theta_obs:
+            eps_cat = cat["radial_velocity_error"]
+            N_rv = int(cat.get("rv_nb_transits", 8))
+            sigma_rv = theta_obs["σ_rv_per_transit"]
+            pnames = list(ctx.theta_system.planets.keys())
+            rv_model = jnp.zeros(self.n_gaia)
+            for i, p in enumerate(pnames):
+                theta_p = ctx.theta_system.planets[p]
+                if not hasproperty(theta_p, "mass"):
+                    continue
+                sol_g = take_epochs(ctx.solutions[i], ctx.epoch_start + self.n_hip, self.n_gaia)
+                rv_model = rv_model + radvel(sol_g, theta_p.mass * MJUP2MSOL) / 1e3
+            rv_sel = rv_model[: min(N_rv, self.n_gaia)]
+            sample_var = jnp.var(rv_sel, ddof=1)
+            s_cat_sq = (2 * N_rv / math.pi) * (eps_cat**2 - 0.113**2)
+            ncp = (N_rv - 1) * sample_var / sigma_rv**2
+            xi_sq = (N_rv - 1) * s_cat_sq / sigma_rv**2
+            ll_rv = noncentral_chi2_logpdf(xi_sq, N_rv - 1, ncp) - 2 * jnp.log(sigma_rv)
+            ll = ll + jnp.where(jnp.isfinite(ll_rv), ll_rv, -jnp.inf)
+
+        # ---- joint catalog channels -----------------------------------
+        mu_h, mu_hg = sim["mu_h"], sim["mu_hg"]
+        if sim["absolute"] and self.has_hip:
+            nl = jnp.asarray([cat.get("nonlinear_dpmra", 0.0), cat.get("nonlinear_dpmdec", 0.0)])
+            mu_hg = mu_hg + nl
+            mu_h = mu_h + 2 * nl
+
+        model_vec = jnp.concatenate(
+            [mu_h, mu_hg, sim["mu_dr2"], sim["mu_dr32"], sim["mu_dr3"],
+             jnp.reshape(sim["UEVA_model"], (1,))]
+        )
+        data_parts = []
+        if self.has_hip:
+            data_parts += [cat["pmra_hip"], cat["pmdec_hip"], cat["pmra_hg"], cat["pmdec_hg"]]
+        else:
+            data_parts += [0.0, 0.0, 0.0, 0.0]
+        data_parts += [
+            cat["pmra_dr2"], cat["pmdec_dr2"],
+            cat["pmra_dr32"], cat["pmdec_dr32"],
+            cat["pmra_dr3"], cat["pmdec_dr3"],
+        ]
+        data_vec = jnp.concatenate(
+            [jnp.asarray(data_parts, dtype=model_vec.dtype), jnp.reshape(sim["mu_1_3"], (1,))]
+        )
+
+        # covariance: block diagonal + DR2/DR3 cross + deflation
+        S = jnp.zeros((11, 11))
+        if self.has_hip:
+            S = S.at[0:2, 0:2].set(jnp.asarray(self._block("hip")))
+            S = S.at[2:4, 2:4].set(jnp.asarray(self._block("hg")))
+        else:
+            S = S.at[0:2, 0:2].set(jnp.eye(2))
+            S = S.at[2:4, 2:4].set(jnp.eye(2))
+        S = S.at[4:6, 4:6].set(jnp.asarray(self._block("dr2")))
+        d = sim["deflation"]
+        S = S.at[6:8, 6:8].set(jnp.asarray(self._block("dr32")) * d**2)
+        S = S.at[8:10, 8:10].set(jnp.asarray(self._block("dr3")) * d**2)
+        S = S.at[10, 10].set(sim["UEVA_unc"] ** 2)
+        rho_23 = float(cat.get("rho_dr2_dr3", 0.0))
+        if rho_23 != 0.0:
+            b2 = self._block("dr2")
+            b3 = self._block("dr3")
+            K = rho_23 * np.sqrt(np.outer(np.diag(b2), np.diag(b3)))
+            S = S.at[4:6, 8:10].set(jnp.asarray(K) * d)
+            S = S.at[8:10, 4:6].set(jnp.asarray(K.T) * d)
+
+        idx = np.asarray([_CHANNELS.index(k) for k in self.kinds])
+        mv = model_vec[idx]
+        dv = data_vec[idx]
+        Ssel = S[np.ix_(idx, idx)]
+        L = jnp.linalg.cholesky(Ssel)
+        import jax.scipy.linalg as jsl
+
+        alpha = jsl.solve_triangular(L, mv - dv, lower=True)
+        ll_cat = (
+            -0.5 * jnp.sum(alpha**2)
+            - jnp.sum(jnp.log(jnp.diagonal(L)))
+            - 0.5 * len(idx) * math.log(2 * math.pi)
+        )
+        ll = ll + jnp.where(jnp.isfinite(ll_cat), ll_cat, -jnp.inf)
+        return ll
+
+    def pointwise_ln_like(self, ctx):
+        return jnp.reshape(self.ln_like(ctx), (1,))
+
+    def likeobj_from_epoch_subset(self, idx):
+        import copy
+
+        new = copy.copy(self)
+        new.kinds = [self.kinds[i] for i in np.atleast_1d(idx)]
+        return new
+
+    def generate_from_params(self, ctx, rng, add_noise=False):
+        """Synthesize catalog channel values from the model
+        (`g23h.jl:2582-3002`, channel-value subset)."""
+        sim = self.simulate(ctx)
+        cat = dict(self.catalog)
+        vals = {
+            "pmra_dr2": float(sim["mu_dr2"][0]), "pmdec_dr2": float(sim["mu_dr2"][1]),
+            "pmra_dr32": float(sim["mu_dr32"][0]), "pmdec_dr32": float(sim["mu_dr32"][1]),
+            "pmra_dr3": float(sim["mu_dr3"][0]), "pmdec_dr3": float(sim["mu_dr3"][1]),
+        }
+        if self.has_hip:
+            vals.update({
+                "pmra_hip": float(sim["mu_h"][0]), "pmdec_hip": float(sim["mu_h"][1]),
+                "pmra_hg": float(sim["mu_hg"][0]), "pmdec_hg": float(sim["mu_hg"][1]),
+            })
+        if add_noise:
+            for prefix in ("hip", "hg", "dr2", "dr32", "dr3"):
+                if f"pmra_{prefix}" not in vals:
+                    continue
+                b = self._block(prefix)
+                z = rng.standard_normal(2)
+                Lb = np.linalg.cholesky(b)
+                dvals = Lb @ z
+                vals[f"pmra_{prefix}"] += dvals[0]
+                vals[f"pmdec_{prefix}"] += dvals[1]
+        cat.update(vals)
+        import copy
+
+        new = copy.copy(self)
+        new.catalog = cat
+        return new
+
+
+G23HLikelihood = G23HObs
