@@ -103,6 +103,7 @@ def octofit(
     verbosity: int = 1,
     starting_points=None,
     metric: str = "dense",
+    sampler: str = "nuts",
 ):
     """Sample the posterior with vectorized NUTS.
 
@@ -153,6 +154,7 @@ def octofit(
         target_accept=target_accept,
         metric=metric,
         initial_sigma=initial_sigma,
+        sampler=sampler,
     )
     jax.block_until_ready(samples)
     t_sampling = time.perf_counter() - t0

@@ -492,7 +492,10 @@ def _warmup_single(
     max_depth,
     target_accept,
     sigma0,
+    transition=None,
 ):
+    if transition is None:
+        transition = nuts_step
     D = theta0.shape[0]
     dtype = theta0.dtype
     dense = sigma0.ndim == 2
@@ -519,7 +522,7 @@ def _warmup_single(
         slow, wend = xs
         key, k_step = jax.random.split(carry["key"])
         eps = jnp.exp(carry["da"].log_eps)
-        theta, lp, grad, stats = nuts_step(
+        theta, lp, grad, stats = transition(
             value_and_grad,
             carry["theta"],
             carry["lp"],
@@ -589,11 +592,15 @@ def _sample_single(
     metric,
     n_samples,
     max_depth,
+    transition=None,
 ):
+    if transition is None:
+        transition = nuts_step
+
     def step(carry, _):
         theta, lp, grad, key = carry
         key, k_step = jax.random.split(key)
-        theta, lp, grad, stats = nuts_step(
+        theta, lp, grad, stats = transition(
             value_and_grad, theta, lp, grad, k_step, eps, metric, max_depth
         )
         return (theta, lp, grad, key), (theta, lp, stats)
@@ -614,8 +621,13 @@ def run_nuts(
     target_accept: float = 0.8,
     metric: str = "dense",
     initial_sigma=None,
+    sampler: str = "nuts",
 ):
     """Warmup + sample a batch of chains; fully jitted and vmapped.
+
+    sampler: "nuts" (multinomial NUTS) or "hmc" (jittered-trajectory
+    HMC with up to 2**(max_depth//2+2) leapfrog steps — a compile-light
+    program for backends with slow compilers).
 
     theta0_batch: (n_chains, D) initial points (unconstrained space).
     metric: "dense" (default, matching the reference's dense metric,
@@ -629,6 +641,16 @@ def run_nuts(
     dtype = theta0_batch.dtype
     schedule = build_warmup_schedule(n_warmup)
     keys = jax.random.split(key, n_chains)
+
+    if sampler == "hmc":
+        from .hmc import hmc_step
+
+        n_leap = max(2 ** (max_depth // 2 + 2), 8)
+
+        def transition(vg, th, lp, g, k, e, m, _depth):
+            return hmc_step(vg, th, lp, g, k, e, m, n_leap)
+    else:
+        transition = None
 
     if initial_sigma is None:
         sigma0 = (
@@ -646,14 +668,15 @@ def run_nuts(
         warm = jax.vmap(
             lambda th, k: _warmup_single(
                 value_and_grad, th, k, n_warmup, schedule, max_depth,
-                target_accept, sigma0,
+                target_accept, sigma0, transition,
             )
         )(theta0_batch, keys)
         theta_w, lp_w, grad_w, eps_f, metric_f, keys_f, wdivs = warm
 
         samples, lps, stats = jax.vmap(
             lambda th, lp, g, k, e, m: _sample_single(
-                value_and_grad, th, lp, g, k, e, m, n_samples, max_depth
+                value_and_grad, th, lp, g, k, e, m, n_samples, max_depth,
+                transition,
             )
         )(theta_w, lp_w, grad_w, keys_f, eps_f, metric_f)
         return samples, lps, stats, {
