@@ -17,7 +17,12 @@ from .variables import (
     normalizename,
 )
 from .logdensity import LogDensityModel
-from .parameterizations import theta_at_epoch_to_tperi, ofti_linear_solve
+from .parameterizations import (
+    theta_at_epoch_to_tperi,
+    ofti_linear_solve,
+    theta_omegatheta_at_epoch_to_omega_tperi,
+    theta_sep_at_epoch_to_tperi_sma,
+)
 from .chain_tools import construct_elements, mcmcchain2result, chain_to_flat
 from .generate import generate_from_params
 
@@ -40,6 +45,8 @@ __all__ = [
     "LogDensityModel",
     "theta_at_epoch_to_tperi",
     "ofti_linear_solve",
+    "theta_omegatheta_at_epoch_to_omega_tperi",
+    "theta_sep_at_epoch_to_tperi_sma",
     "construct_elements",
     "mcmcchain2result",
     "chain_to_flat",

@@ -193,3 +193,69 @@ def ofti_linear_solve(
         "G": G_fit,
         "log_marginal_likelihood": log_marginal,
     }
+
+
+def theta_omegatheta_at_epoch_to_omega_tperi(
+    theta, omega_theta, theta_epoch, *, M, e, i, Omega, a=None, P=None, **_ignored
+):
+    """(theta, omega_theta) -> (tp, omega): position angle plus the
+    angle omega_theta = atan2(B, A) parameterization
+    (`θ_ωθ_at_epoch_to_ω_tperi`, reference `parameterizations.jl:71-160`).
+
+    Returns (tp, omega).
+    """
+    if a is None:
+        if P is None:
+            raise ValueError("specify a or P")
+        a = jnp.cbrt(M * (P / KEPLER_YEAR_DAYS) ** 2)
+    omega = jnp.arctan(-jnp.tan(Omega - omega_theta) / jnp.cos(i))
+    cw, sw = jnp.cos(omega), jnp.sin(omega)
+    cO, sO = jnp.cos(Omega), jnp.sin(Omega)
+    ci = jnp.cos(i)
+    A = cO * cw - sO * sw * ci
+    B = sO * cw + cO * sw * ci
+    F = -cO * sw - sO * cw * ci
+    G = -sO * sw + cO * cw * ci
+    det = A * G - F * B
+    ct, st = jnp.cos(theta), jnp.sin(theta)
+    x = (G * ct - F * st) / det
+    y = (-B * ct + A * st) / det
+    nu = jnp.arctan2(y, x)
+    tp = _nu_to_tp(nu, e, a, M, theta_epoch)
+    return tp, omega
+
+
+def theta_sep_at_epoch_to_tperi_sma(
+    theta, sep, theta_epoch, *, M, plx, e, i, omega, Omega, **_ignored
+):
+    """(theta, sep) -> (tp, a): position angle + projected separation
+    parameterization (`θ_sep_at_epoch_to_tperi_sma`, reference
+    `parameterizations.jl:162-284`). sep in mas. Returns (tp, a[AU])."""
+    from ..constants import IAU_PC2AU, RAD2AS
+
+    e = jnp.where(e == 0.0, 1e-12, e)
+    cw, sw = jnp.cos(omega), jnp.sin(omega)
+    cO, sO = jnp.cos(Omega), jnp.sin(Omega)
+    ci = jnp.cos(i)
+    A = cO * cw - sO * sw * ci
+    B = sO * cw + cO * sw * ci
+    F = -cO * sw - sO * cw * ci
+    G = -sO * sw + cO * cw * ci
+    det = A * G - F * B
+    ct, st = jnp.cos(theta), jnp.sin(theta)
+    x = (G * ct - F * st) / det
+    y = (-B * ct + A * st) / det
+    nu = jnp.arctan2(y, x)
+
+    # scale a so the projected separation matches (reference :237-270)
+    dist_au = 1000.0 / plx * IAU_PC2AU
+    cart2angle = RAD2AS * 1e3 / dist_au
+    sep_au = sep / cart2angle
+    snw, cnw = jnp.sin(omega + nu), jnp.cos(omega + nu)
+    r = sep_au / jnp.sqrt(
+        (cnw * sO + snw * ci * cO) ** 2 + (cnw * cO - snw * ci * sO) ** 2
+    )
+    p = r * (1 + e * jnp.cos(nu))
+    a = p / (1 - e * e)
+    tp = _nu_to_tp(nu, e, a, M, theta_epoch)
+    return tp, a
