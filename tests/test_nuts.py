@@ -82,3 +82,22 @@ def test_ess_rhat_sanity():
     stuck[0] += 10.0
     _, rhat2 = ess_rhat(stuck)
     assert rhat2 > 1.5
+
+
+def test_hmc_sampler_moments():
+    """Jittered-HMC path (the compile-light TPU sampler)."""
+    D = 4
+
+    def lp(x):
+        return -0.5 * jnp.sum(x * x)
+
+    vg = jax.value_and_grad(lp)
+    theta0 = jax.random.normal(jax.random.PRNGKey(0), (8, D)) * 0.5
+    samples, _, stats, _ = run_nuts(
+        vg, theta0, jax.random.PRNGKey(1), n_warmup=500, n_samples=1000,
+        metric="dense", sampler="hmc",
+    )
+    flat = np.asarray(samples).reshape(-1, D)
+    assert np.abs(flat.mean(axis=0)).max() < 0.06
+    assert np.abs(flat.std(axis=0) - 1.0).max() < 0.06
+    assert float(np.asarray(stats.acceptance_rate).mean()) > 0.6
