@@ -157,6 +157,9 @@ def semimajoraxis(elem):
         v = elem.A * elem.G - elem.B * elem.F
         alpha = jnp.sqrt(u + jnp.sqrt((u + v) * (u - v)))  # [mas]
         return alpha / elem.plx
+    if not hasattr(elem, "a"):
+        # FixedPosition-style bases (`orbit-models.jl:33`)
+        return jnp.asarray(0.0)
     return elem.a
 
 
@@ -354,9 +357,19 @@ def orbitsolve(elem, t):
 
     else:
         from .absolute_visual import AbsoluteVisualOrbit, orbitsolve_absolute
+        from .extra_bases import (
+            CartesianOrbit,
+            FixedPositionOrbit,
+            orbitsolve_cartesian,
+            orbitsolve_fixed,
+        )
 
         if isinstance(elem, AbsoluteVisualOrbit):
             return orbitsolve_absolute(elem, t)
+        if isinstance(elem, FixedPositionOrbit):
+            return orbitsolve_fixed(elem, t)
+        if isinstance(elem, CartesianOrbit):
+            return orbitsolve_cartesian(elem, t)
         raise TypeError(f"Unsupported orbit element type {type(elem).__name__}")
 
     return OrbitSolution(

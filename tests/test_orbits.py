@@ -183,3 +183,43 @@ def test_vmap_over_chains():
     out = jax.jit(jax.vmap(solve_one))(a, e)
     assert out.shape == (n, 100)
     assert bool(jnp.all(jnp.isfinite(out)))
+
+
+def test_fixed_position_orbit():
+    from octofitter_tpu.orbits import FixedPositionOrbit
+
+    fp = FixedPositionOrbit.from_params(sep=500.0, pa=0.8, plx=50.0)
+    sol = orbitsolve(fp, jnp.asarray([56000.0, 57000.0]))
+    np.testing.assert_allclose(
+        np.hypot(np.asarray(sol.raoff_mas), np.asarray(sol.decoff_mas)),
+        500.0, rtol=1e-12,
+    )
+    np.testing.assert_allclose(np.asarray(posangle(sol)), 0.8, rtol=1e-12)
+    # velocities are zero; time-independent
+    assert float(jnp.max(jnp.abs(sol.pmra_masyr))) == 0.0
+
+
+def test_cartesian_orbit_roundtrip():
+    from octofitter_tpu.orbits import CartesianOrbit
+
+    rng = np.random.default_rng(1)
+    for _ in range(5):
+        true = dict(
+            a=rng.uniform(2, 15), e=rng.uniform(0, 0.8), i=rng.uniform(0.05, 3.1),
+            omega=rng.uniform(0, 2 * np.pi), Omega=rng.uniform(0, 2 * np.pi),
+            tp=56500.0, M=rng.uniform(0.5, 2), plx=40.0,
+        )
+        vis = VisualOrbit.from_params(**true)
+        tref = 57000.0
+        s0 = orbitsolve(vis, jnp.asarray(tref))
+        cart = CartesianOrbit(
+            x=s0.posx, y=s0.posy, z=s0.posz, vx=s0.vx, vy=s0.vy, vz=s0.vz,
+            M=jnp.asarray(true["M"]), tref=jnp.asarray(tref),
+            plx=jnp.asarray(true["plx"]),
+        )
+        for t in [55500.0, 58000.0]:
+            sv = orbitsolve(vis, jnp.asarray(t))
+            sc = orbitsolve(cart, jnp.asarray(t))
+            np.testing.assert_allclose(float(raoff(sv)), float(raoff(sc)), atol=1e-7)
+            np.testing.assert_allclose(float(decoff(sv)), float(decoff(sc)), atol=1e-7)
+            np.testing.assert_allclose(float(radvel(sv)), float(radvel(sc)), atol=1e-4)
