@@ -1,6 +1,6 @@
 """Visualization (reference `ext/OctofitterMakieExt/`, `OctofitterPairPlotsExt`)."""
 
-from .octoplot import octoplot, astromplot, rvtimeplot, pmaplot
+from .octoplot import octoplot, astromplot, rvtimeplot, pmaplot, rvpostplot
 from .corner import octocorner
 
-__all__ = ["octoplot", "octocorner", "astromplot", "rvtimeplot", "pmaplot"]
+__all__ = ["octoplot", "octocorner", "astromplot", "rvtimeplot", "pmaplot", "rvpostplot"]

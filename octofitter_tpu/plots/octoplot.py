@@ -166,3 +166,51 @@ def octoplot(model, chain, fname=None, n_draws=50):
     if fname:
         fig.savefig(fname, dpi=150)
     return fig
+
+
+def rvpostplot(model, chain, ax=None, n_draws=50, planet_name=None):
+    """Phase-folded RV plot with residuals
+    (`OctofitterRadialVelocity/ext/...MakieExt.jl` rvpostplot).
+
+    Folds the RV data on the posterior-median period of the chosen
+    planet and overlays posterior model draws.
+    """
+    from ..rv.likelihoods import _BaseRVObs
+    from ..orbits import period as orbit_period
+
+    if ax is None:
+        _, ax = plt.subplots(figsize=(7, 4))
+    planet = (
+        model.system.planets[0]
+        if planet_name is None
+        else next(p for p in model.system.planets if p.name == planet_name)
+    )
+    orbits, masses = _sample_orbits(model, chain, planet.name, n_draws)
+    P_med = float(np.median([float(orbit_period(o)) for o in orbits]))
+    tp_med = float(np.median([float(o.tp) for o in orbits]))
+
+    rv_obs = [
+        o for o in model.system.observations
+        if isinstance(o, _BaseRVObs)
+    ]
+    # subtract per-instrument median offsets from the chain if present
+    for obs in rv_obs:
+        t = obs.table
+        off_col = f"{obs.normalized_name}_offset"
+        offset = (
+            float(np.median(chain.flat(off_col))) if off_col in chain.data else 0.0
+        )
+        phase = np.mod((t["epoch"] - tp_med) / P_med, 1.0)
+        ax.errorbar(phase, t["rv"] - offset, yerr=t["σ_rv"], fmt="o", ms=3,
+                    zorder=5, label=obs.name)
+
+    ts = jnp.linspace(tp_med, tp_med + P_med, 300)
+    for orbit, m in zip(orbits, masses):
+        sol = orbitsolve(orbit, ts)
+        rv = np.asarray(radvel(sol, m)) if m else np.asarray(radvel(sol))
+        phase = np.mod((np.asarray(ts) - tp_med) / P_med, 1.0)
+        order = np.argsort(phase)
+        ax.plot(phase[order], rv[order], color="C0", alpha=0.08, lw=0.8)
+    ax.set_xlabel("orbital phase")
+    ax.set_ylabel("RV [m/s]")
+    return ax
