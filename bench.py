@@ -36,18 +36,18 @@ def build_model():
     from octofitter_tpu.orbits import VisualOrbit, orbitsolve, raoff, decoff
 
     true = dict(a=10.0, e=0.2, i=0.6, omega=1.0, Omega=2.0, tp=57000.0, M=1.2, plx=50.0)
-    # well-constrained dataset so the benchmark posterior is unimodal
-    n = 16
+    # well-constrained (unimodal) but not razor-thin posterior
+    n = 12
     rng = np.random.default_rng(0)
-    epochs = np.linspace(55000.0, 59000.0, n)
+    epochs = np.linspace(55500.0, 58800.0, n)
     sol = orbitsolve(VisualOrbit.from_params(**true), jnp.asarray(epochs))
     astrom = oc.PlanetRelAstromObs(
         dict(
             epoch=epochs,
-            ra=np.asarray(raoff(sol)) + rng.standard_normal(n) * 1.0,
-            dec=np.asarray(decoff(sol)) + rng.standard_normal(n) * 1.0,
-            σ_ra=np.full(n, 1.0),
-            σ_dec=np.full(n, 1.0),
+            ra=np.asarray(raoff(sol)) + rng.standard_normal(n) * 2.0,
+            dec=np.asarray(decoff(sol)) + rng.standard_normal(n) * 2.0,
+            σ_ra=np.full(n, 2.0),
+            σ_dec=np.full(n, 2.0),
         ),
         name="simdata",
     )
@@ -100,7 +100,7 @@ def bench_sampling():
     t0 = time.perf_counter()
     samples, lls, stats, info = run_nuts(
         vg, theta0, jax.random.PRNGKey(2),
-        n_warmup=700, n_samples=500, max_depth=10,
+        n_warmup=700, n_samples=500, max_depth=12,
         metric="dense", initial_sigma=sigma0, sampler="hmc",
     )
     jax.block_until_ready(samples)

@@ -113,3 +113,64 @@ def savehdf5(fname, model, chain: Chains, planet_key=None):
         f.attrs["tau_ref_epoch"] = _TAU_REF_EPOCH
         f.attrs["sampler_name"] = "octofitter_tpu"
         f.create_dataset("post", data=dat.astype(np.float32))
+
+
+def Whereistheplanet_search(target, catalog_dir=None):
+    """Locate a whereistheplanet.com posterior HDF5 by target name
+    (`io-orbitize.jl:21-49`). Requires a local mirror directory of the
+    whereistheplanet data (no network in this environment): returns the
+    matching file path."""
+    import difflib
+    import glob
+    import os
+
+    if catalog_dir is None:
+        raise RuntimeError(
+            "No network access: pass catalog_dir= pointing at a local "
+            "mirror of the whereistheplanet posteriors."
+        )
+    files = glob.glob(os.path.join(catalog_dir, "*.h5")) + glob.glob(
+        os.path.join(catalog_dir, "*.hdf5")
+    )
+    names = {os.path.splitext(os.path.basename(f))[0].lower(): f for f in files}
+    key = target.lower().replace(" ", "")
+    if key in names:
+        return names[key]
+    close = difflib.get_close_matches(key, list(names), n=3)
+    raise KeyError(f"No posterior for {target!r}; similar: {close}")
+
+
+def Whereistheplanet_astrom(target, catalog_dir=None, object_num=1):
+    """Load astrometry stored alongside a whereistheplanet posterior
+    (`io-orbitize.jl:51-97`): returns a dict table with epoch/ra/dec or
+    sep/pa columns ready for PlanetRelAstromObs."""
+    import h5py
+    import numpy as np
+
+    path = Whereistheplanet_search(target, catalog_dir)
+    with h5py.File(path, "r") as f:
+        if "data" not in f:
+            raise KeyError(f"{path} contains no astrometry 'data' table")
+        d = np.asarray(f["data"])
+        names = d.dtype.names
+        ep = d["epoch"]
+        quant1 = d["quant1"]
+        quant2 = d["quant2"]
+        q1e = d["quant1_err"]
+        q2e = d["quant2_err"]
+        qtype = (
+            np.char.decode(d["quant_type"].astype("S"), "utf-8")
+            if "quant_type" in names
+            else np.full(len(d), "radec")
+        )
+        obj = d["object"] if "object" in names else np.ones(len(d), int)
+        sel = obj == object_num
+        if np.all(qtype[sel] == "radec"):
+            return dict(
+                epoch=ep[sel], ra=quant1[sel], dec=quant2[sel],
+                σ_ra=q1e[sel], σ_dec=q2e[sel],
+            )
+        return dict(
+            epoch=ep[sel], sep=quant1[sel], pa=np.deg2rad(quant2[sel]),
+            σ_sep=q1e[sel], σ_pa=np.deg2rad(q2e[sel]),
+        )

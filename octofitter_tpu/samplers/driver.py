@@ -59,9 +59,12 @@ def _repackage(model: LogDensityModel, samples_t, lps, stats, info, t_sampling):
         "energy": np.asarray(stats.energy),
         "step_size": np.asarray(stats.step_size),
     }
+    import datetime
+
     chain_info = {
         "sampler": "nuts_vectorized",
         "model_name": model.system.name,
+        "stop_time": datetime.datetime.now().isoformat(timespec="seconds"),
         "step_size": np.asarray(info["step_size"]),
         "sigma": np.asarray(info["sigma"]),
         "sampling_time_s": t_sampling,
