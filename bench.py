@@ -35,11 +35,13 @@ def build_model():
     from octofitter_tpu import distributions as dist
     from octofitter_tpu.orbits import VisualOrbit, orbitsolve, raoff, decoff
 
-    true = dict(a=10.0, e=0.2, i=0.6, omega=1.0, Omega=2.0, tp=57000.0, M=1.2, plx=50.0)
-    # well-constrained (unimodal) but not razor-thin posterior
+    # full orbital-phase coverage (P ~ 4400 d): the posterior is compact
+    # and unimodal, so the benchmark measures sampler throughput rather
+    # than pathological-geometry luck
+    true = dict(a=7.0, e=0.2, i=0.6, omega=1.0, Omega=2.0, tp=57000.0, M=1.2, plx=50.0)
     n = 12
     rng = np.random.default_rng(0)
-    epochs = np.linspace(55500.0, 58800.0, n)
+    epochs = np.linspace(55000.0, 59500.0, n)
     sol = orbitsolve(VisualOrbit.from_params(**true), jnp.asarray(epochs))
     astrom = oc.PlanetRelAstromObs(
         dict(
