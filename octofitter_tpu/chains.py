@@ -5,13 +5,14 @@ Equivalent of the reference's MCMCChains integration
 `/root/reference/src/sampling.jl:551-981`): flat named columns following
 the naming contract `var`, `planet_var`, `obsname_var`,
 `planet_obsname_var`, an `:internals` section with sampler statistics,
-and an `info` metadata dict. Adds split-R̂ and bulk ESS diagnostics
-(Vehtari et al. 2021 style, non-rank-normalized).
+and an `info` metadata dict. Adds rank-normalized split-R̂ and
+bulk/tail ESS diagnostics (Vehtari et al. 2021).
 """
 
 from __future__ import annotations
 
 import numpy as np
+from scipy.special import ndtri
 
 
 def _autocovariance_fft(x):
@@ -24,8 +25,19 @@ def _autocovariance_fft(x):
     return acov / n
 
 
-def ess_rhat(x: np.ndarray):
-    """Split-R̂ and bulk ESS for one parameter; x shape (chains, draws)."""
+def _rank_normalize(x: np.ndarray) -> np.ndarray:
+    """Fractional-rank inverse-normal transform over ALL draws jointly
+    (Vehtari et al. 2021 eq. 14): z = Phi^-1((rank - 3/8)/(S + 1/4))."""
+    from scipy.stats import rankdata
+
+    flat = x.reshape(-1)
+    ranks = rankdata(flat, method="average")
+    z = ndtri((ranks - 0.375) / (flat.size + 0.25))
+    return z.reshape(x.shape)
+
+
+def _split_ess_rhat_raw(x: np.ndarray):
+    """Split-R̂ and ESS on the values as given; x shape (chains, draws)."""
     x = np.asarray(x, dtype=np.float64)
     m, n = x.shape
     if n < 4:
@@ -61,6 +73,41 @@ def ess_rhat(x: np.ndarray):
     tau = max(tau, 1.0 / np.log10(nn + 10))
     ess = mm * nn / tau
     return float(ess), float(rhat)
+
+
+def ess_rhat(x: np.ndarray):
+    """Rank-normalized bulk ESS and split-R̂ (Vehtari et al. 2021).
+
+    x shape (chains, draws). Rank-normalization makes the diagnostics
+    robust to heavy tails and to chains stuck in minor modes — the
+    honest accounting the reference community standard (posterior /
+    ArviZ) uses. Constant columns return (nan, nan).
+    """
+    x = np.asarray(x, dtype=np.float64)
+    if not np.all(np.isfinite(x)):
+        return float("nan"), float("nan")
+    if np.allclose(x, x.reshape(-1)[0]):
+        return float("nan"), float("nan")
+    z = _rank_normalize(x)
+    ess_bulk, rhat_bulk = _split_ess_rhat_raw(z)
+    # folded split-R̂ for scale mis-mixing; report max of the two
+    zf = _rank_normalize(np.abs(x - np.median(x)))
+    _, rhat_folded = _split_ess_rhat_raw(zf)
+    rhat = np.nanmax([rhat_bulk, rhat_folded])
+    return float(ess_bulk), float(rhat)
+
+
+def ess_tail(x: np.ndarray):
+    """Tail ESS: min of ESS of the 5% and 95% quantile indicators."""
+    x = np.asarray(x, dtype=np.float64)
+    if not np.all(np.isfinite(x)) or np.allclose(x, x.reshape(-1)[0]):
+        return float("nan")
+    out = []
+    for q in (0.05, 0.95):
+        ind = (x <= np.quantile(x, q)).astype(np.float64)
+        e, _ = _split_ess_rhat_raw(ind)
+        out.append(e)
+    return float(np.nanmin(out))
 
 
 class Chains:
@@ -106,14 +153,18 @@ class Chains:
 
     # --------------------------------------------------------------
     def summary(self):
-        """dict of per-parameter stats: mean, std, ess, rhat."""
+        """dict of per-parameter stats: mean, std, ess (rank-normalized
+        bulk), ess_tail, rhat (rank-normalized split, max of bulk/folded)."""
         out = {}
         for k, v in self.data.items():
+            if v.ndim != 2:
+                continue
             ess, rhat = ess_rhat(v)
             out[k] = {
                 "mean": float(v.mean()),
                 "std": float(v.std()),
                 "ess": ess,
+                "ess_tail": ess_tail(v),
                 "rhat": rhat,
             }
         return out

@@ -41,11 +41,17 @@ def _repackage(model: LogDensityModel, samples_t, lps, stats, info, t_sampling):
 
     nts, lprior = postprocess(flat_t)
     cols = flatten_params_batch(nts)
-    data = {
-        k: np.asarray(v).reshape(n_chains, n_draws, *np.shape(v)[1:])
-        for k, v in cols.items()
-        if np.ndim(v) == 1  # scalar variables only for now
-    }
+    data = {}
+    for k, v in cols.items():
+        v = np.asarray(v)
+        if v.ndim == 1:
+            data[k] = v.reshape(n_chains, n_draws)
+        else:
+            # vector obs/model variables expand to _1, _2, ... columns
+            # per the reference naming contract (`sampling.jl:908-981`)
+            flat2 = v.reshape(n_chains, n_draws, -1)
+            for j in range(flat2.shape[-1]):
+                data[f"{k}_{j + 1}"] = flat2[..., j]
     lps_np = np.asarray(lps)
     lprior_np = np.asarray(lprior).reshape(n_chains, n_draws)
     internals = {
@@ -235,9 +241,15 @@ def octofit_rejection(
 
     nts = jax.vmap(model.arr2nt)(jnp.asarray(draws_nat))
     cols = flatten_params_batch(nts)
-    data = {
-        k: np.asarray(v)[None, :] for k, v in cols.items() if np.ndim(v) == 1
-    }
+    data = {}
+    for k, v in cols.items():
+        v = np.asarray(v)
+        if v.ndim == 1:
+            data[k] = v[None, :]
+        else:
+            flat2 = v.reshape(v.shape[0], -1)
+            for j in range(flat2.shape[-1]):
+                data[f"{k}_{j + 1}"] = flat2[None, :, j]
     nts_ll = jax.vmap(model.ln_like_nt)(jax.vmap(model.arr2nt)(jnp.asarray(draws_nat)))
     internals = {"loglike": np.asarray(nts_ll)[None, :]}
     info = {

@@ -81,7 +81,29 @@ def test_ess_rhat_sanity():
     stuck = iid.copy()
     stuck[0] += 10.0
     _, rhat2 = ess_rhat(stuck)
-    assert rhat2 > 1.5
+    assert rhat2 > 1.2
+
+
+def test_ess_rhat_rank_normalized():
+    """Rank normalization: heavy tails don't inflate/deflate diagnostics,
+    and scale-only mis-mixing is caught by the folded component."""
+    from octofitter_tpu.chains import ess_tail
+
+    rng = np.random.default_rng(1)
+    cauchy = rng.standard_cauchy((8, 1000))
+    ess, rhat = ess_rhat(cauchy)
+    assert 4000 < ess < 12000  # iid cauchy: near-nominal after ranks
+    assert rhat < 1.01
+    assert ess_tail(cauchy) > 1000
+    # same location, different scales across chains -> folded rhat flags
+    scales = np.ones((8, 1))
+    scales[:4] = 5.0
+    x = rng.standard_normal((8, 1000)) * scales
+    _, rhat_sc = ess_rhat(x)
+    assert rhat_sc > 1.1
+    # constant column -> nan, not crash
+    e, r = ess_rhat(np.ones((4, 100)))
+    assert np.isnan(e) and np.isnan(r)
 
 
 def test_hmc_sampler_moments():
