@@ -5,7 +5,12 @@ Prints ONE JSON line:
 
 Headline metric: ESS/sec/chip sampling the quick-start relative-
 astrometry posterior (BASELINE.md north star) with 4096 vectorized
-chains (jittered-HMC transition, dense metric, 500 warmup + 500 draws).
+chains (cross-chain ChEES-HMC, dense metric, 700 warmup + 500 draws).
+
+Accounting is strict: rank-normalized bulk ESS (Vehtari et al. 2021)
+computed over ALL chains jointly (no mode filtering, no subsample
+extrapolation), taken as the MINIMUM across every model parameter, and
+gated on max rank-normalized split-R-hat < 1.05.
 
 Baseline: the reference's single-chain CPU NUTS on fits of this size
 reports ~10-50 us per leapfrog step (`src/sampling.jl:443-451` report;
@@ -82,53 +87,44 @@ def build_model():
 
 
 def bench_sampling():
-    import octofitter_tpu.samplers.driver as drv
     from octofitter_tpu.chains import ess_rhat
-    from octofitter_tpu.samplers.nuts import run_nuts
+    from octofitter_tpu.samplers.chees import run_chees
 
     model = build_model()
     n_chains = 4096
-    # start every chain from the highest-density prior draws (top 512 of
-    # 200k) — marginal starting points on short warmups leave stuck
-    # chains
-    pts, _ = model.prior_search(jax.random.PRNGKey(0), 200_000, 512)
-    sigma0 = drv._initial_sigma_from_points(np.asarray(pts), "dense")
+    # full initialization pipeline (prior search -> multistart Adam ->
+    # L-BFGS -> Laplace), the production octofit path
+    model.initialize(jax.random.PRNGKey(0), verbosity=0)
+    pts = np.asarray(model.starting_points)
+    sigma0 = np.asarray(model.laplace_sigma)
     vg = jax.value_and_grad(model._ln_post_py)
-    idx = jax.random.choice(
-        jax.random.PRNGKey(1), pts.shape[0], (n_chains,), replace=True
+    idx = np.asarray(
+        jax.random.choice(
+            jax.random.PRNGKey(1), pts.shape[0], (n_chains,), replace=True
+        )
     )
-    theta0 = pts[idx]
+    theta0 = jnp.asarray(pts[idx])
 
     t0 = time.perf_counter()
-    samples, lls, stats, info = run_nuts(
+    samples, lls, stats, info = run_chees(
         vg, theta0, jax.random.PRNGKey(2),
-        n_warmup=700, n_samples=500, max_depth=12,
-        metric="dense", initial_sigma=sigma0, sampler="hmc",
+        n_warmup=700, n_samples=500,
+        metric="dense", initial_sigma=sigma0,
     )
     jax.block_until_ready(samples)
     dt = time.perf_counter() - t0
 
+    # strict accounting: rank-normalized bulk ESS over ALL chains, min
+    # across every parameter; gate on rank-normalized split-R-hat
     s = np.asarray(samples)
-    lls_np = np.asarray(lls)
-    i_a = model.parameter_names.index("b_a")
-
-    # Chains occasionally start in (or wander to) spurious modes on
-    # flaky short warmups; score convergence on the main-mode majority
-    # and require that majority to be large.
-    chain_lp = lls_np.mean(axis=1)
-    med = np.median(chain_lp)
-    mad = np.median(np.abs(chain_lp - med)) + 1e-9
-    keep = np.abs(chain_lp - med) < 10 * mad
-    frac = keep.mean()
-    if frac < 0.5:
-        raise RuntimeError(f"bench sampling: only {frac:.0%} of chains in the main mode")
-    kept = np.nonzero(keep)[0]
-    n_sub = min(256, len(kept))
-    ess_sub, rhat = ess_rhat(s[kept[:n_sub], :, i_a])
-    if not np.isfinite(rhat) or rhat > 1.3:
-        raise RuntimeError(f"bench sampling did not converge (rhat={rhat})")
-    ess_total = ess_sub * (len(kept) / n_sub)
-    return ess_total / dt
+    ess_min, rhat_max = np.inf, 0.0
+    for i in range(s.shape[-1]):
+        ess_i, rhat_i = ess_rhat(s[:, :, i])
+        ess_min = min(ess_min, ess_i)
+        rhat_max = max(rhat_max, rhat_i)
+    if not np.isfinite(rhat_max) or rhat_max > 1.05:
+        raise RuntimeError(f"bench sampling did not converge (rhat={rhat_max})")
+    return ess_min / dt
 
 
 def bench_kepler():

@@ -26,6 +26,7 @@ from .model import (
     DirectLL,
     Planet,
     System,
+    IIDVector,
     UniformCircular,
     UserLikelihood,
     LogDensityModel,

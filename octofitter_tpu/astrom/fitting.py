@@ -54,12 +54,23 @@ def _lstsq_qr(A, b):
 
 
 def fit_5param(A, cosphi, sinphi, dalpha, ddelta, residuals=0.0, sigma=None,
-               include_chi2=False):
+               include_chi2=False, weights=None, n_rows=None):
     """Weighted 5-parameter fit (`fit_5param_prepared`,
     `gaia-utils.jl:371-439`).
 
     sigma: None or scalar (cancels in the solve, folded into chi2 only)
     or a per-epoch vector (genuinely weights the solve).
+
+    weights: optional per-row multiplicities/masks — the TPU-native form
+    of the reference's per-sample epoch re-selection (`missed_transits`
+    / `transits_dr2` table mutation, `hgca-linfit.jl:308-322`,
+    `g23h.jl:1732-1736,2092`): weight 0 drops a scan from the fit,
+    weight 2 enters it twice (a doubly-downlinked DR2 transit), all
+    with fixed array shapes under jit.
+
+    n_rows: effective row count for the chi2 dof when weights select a
+    subset (defaults to A.shape[0]).
+
     Returns dict with 'parameters' (d_alpha, d_delta, d_pmra, d_pmdec,
     d_plx) and optionally chi2 values.
     """
@@ -71,6 +82,10 @@ def fit_5param(A, cosphi, sinphi, dalpha, ddelta, residuals=0.0, sigma=None,
         bw = b / sigma
     else:
         Aw, bw = A, b
+    if weights is not None:
+        sw = jnp.sqrt(jnp.asarray(weights, A.dtype))
+        Aw = Aw * sw[:, None]
+        bw = bw * sw
     x = _lstsq_qr(Aw, bw)
     parameters = (x[0], x[1], x[3], x[4], x[2])
     out = {"parameters": parameters}
@@ -81,7 +96,7 @@ def fit_5param(A, cosphi, sinphi, dalpha, ddelta, residuals=0.0, sigma=None,
             chi2 = jnp.sum(resid * resid) / (s * s)
         else:
             chi2 = jnp.sum(resid * resid)
-        dof = A.shape[0] - 5
+        dof = (A.shape[0] if n_rows is None else n_rows) - 5
         out["chi_squared_astro"] = chi2
         out["chi2_reduced"] = chi2 / dof
         out["dof"] = dof

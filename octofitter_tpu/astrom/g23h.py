@@ -19,12 +19,19 @@ scatter, Chance et al. 2022).
 All per-scan loops are vectorized; the 5-parameter refits are
 differentiable QR solves; per-sample channel math is fixed-shape jnp.
 
-Differences from the reference in this round (documented, not silent):
-  - `missed_transits` / per-sample `transits_dr2` re-selection is not
-    yet marginalized (the scan windows are fixed at construction);
-  - the DR2<->DR3 cross-covariance uses the catalog `rho_dr2_dr3`
-    applied to the PM blocks (the reference's central-position
-    propagation is approximated).
+Per-sample epoch-selection marginalization (`transit_priorities` /
+`transits_dr2`, `g23h.jl:749-836,1089-1095`) is implemented as weight
+masks in the LSQ normal equations (SURVEY.md section 7 "Hard parts"):
+instead of mutating table shapes per sample, each scan row carries a
+multiplicity weight in {0, 1, 2} computed from the sampled continuous
+priorities — weight 0 drops the scan, weight 2 models a
+doubly-downlinked DR2 bright-star transit. The DR2<->DR3 covariance
+uses the reference's exact treatment when the central-position columns
+are present: matrix-sqrt cross block `K = rho sqrt(S_dr2) sqrt(S_dr3)'`
+(`g23h.jl:1561`) and the deflation-adjusted position propagation
+`dS_dr32 = Tr ((d^2-1) S_pos_dr3 - (d-1)(S_cross + S_cross')) Tr'`
+(`g23h.jl:1390-1445`); otherwise it falls back to the catalog-rho
+diagonal approximation.
 """
 
 from __future__ import annotations
@@ -73,6 +80,14 @@ def _jyear_to_mjd(jy):
     return (jy - 2000.0) * JULIAN_YEAR_DAYS + J2000_MJD
 
 
+def _sqrt2x2(M):
+    """Principal square root of an SPD 2x2 matrix (closed form):
+    sqrt(M) = (M + sqrt(det) I) / sqrt(tr + 2 sqrt(det))."""
+    s = jnp.sqrt(jnp.maximum(M[0, 0] * M[1, 1] - M[0, 1] * M[1, 0], 0.0))
+    t = jnp.sqrt(jnp.maximum(M[0, 0] + M[1, 1] + 2 * s, 1e-300))
+    return (M + s * jnp.eye(2)) / t
+
+
 _REQ_CAT = [
     "pmra_dr3", "pmdec_dr3", "pmra_dr3_error", "pmdec_dr3_error", "pmra_pmdec_dr3",
     "pmra_dr2", "pmdec_dr2", "pmra_dr2_error", "pmdec_dr2_error", "pmra_pmdec_dr2",
@@ -81,6 +96,224 @@ _REQ_CAT = [
     "astrometric_chi2_al_dr3", "astrometric_n_good_obs_al_dr3",
     "astrometric_matched_transits_dr3",
 ]
+
+
+# --------------------------------------------------------------------------
+# Per-sample epoch-selection machinery (`g23h.jl:749-836`):
+# pools + counts are static (host-side); which epochs fill them is
+# sampled via continuous priorities and applied as LSQ weight masks.
+# --------------------------------------------------------------------------
+
+class _EpochPools:
+    """Static DR2/DR3 selection pools and target counts for one source."""
+
+    def __init__(self):
+        self.dr2_pool = np.zeros(0, int)
+        self.dr3_win = np.zeros(0, int)
+        self.dr3_tail = np.zeros(0, int)
+        self.n2_win = 0
+        self.n_tail = 0
+        self.n_dr2_total = 0
+        self.n_dr2_lo = 0
+        self.n_dr2_hi = 0
+        self.marginalize_dup = False
+        self.n_epochs = 0
+
+
+def _in_gaps(epochs, gaps):
+    m = np.zeros(len(epochs), bool)
+    for start, stop in gaps:
+        m |= (epochs >= start) & (epochs <= stop)
+    return m
+
+
+def _epoch_pools(catalog, gaia_like, gaps_dr2, gaps_dr3, gmag_threshold):
+    """Selection pools per release with gap masks and target transit
+    counts (`g23h.jl:525-559,738-795`)."""
+    p = _EpochPools()
+    ep = np.asarray(gaia_like.table["epoch"], float)
+    p.n_epochs = len(ep)
+    dr2_ok = (
+        (ep >= GAIA_AGIS_SPAN_DR2["start_mjd"])
+        & (ep <= GAIA_AGIS_SPAN_DR2["stop_mjd"])
+        & ~_in_gaps(ep, gaps_dr2)
+    )
+    dr3_ok = (
+        (ep >= GAIA_AGIS_SPAN_DR3["start_mjd"])
+        & (ep <= GAIA_AGIS_SPAN_DR3["stop_mjd"])
+        & ~_in_gaps(ep, gaps_dr3)
+    )
+    dr2_stop = GAIA_AGIS_SPAN_DR2["stop_mjd"]
+    p.dr2_pool = np.nonzero(dr2_ok)[0]
+    p.dr3_win = np.nonzero(dr3_ok & (ep <= dr2_stop))[0]
+    p.dr3_tail = np.nonzero(dr3_ok & (ep > dr2_stop))[0]
+
+    n_dr3 = int(catalog["astrometric_matched_transits_dr3"])
+    n_pool = len(p.dr3_win) + len(p.dr3_tail)
+    if n_pool < n_dr3:
+        # degenerate: every usable forecast epoch is selected
+        p.n2_win = len(p.dr3_win)
+        p.n_tail = len(p.dr3_tail)
+    else:
+        p.n2_win = int(
+            np.clip(
+                round(n_dr3 * len(p.dr3_win) / max(n_pool, 1)),
+                max(n_dr3 - len(p.dr3_tail), 0),
+                min(len(p.dr3_win), n_dr3),
+            )
+        )
+        p.n_tail = n_dr3 - p.n2_win
+
+    # DR2 totals incl. doubly-downlinked bright-star transits
+    # (`_g23h_dr2_target_transits`, `g23h.jl:200-220`)
+    v = catalog.get("astrometric_matched_observations_dr2", None)
+    if v is None or not np.isfinite(v):
+        # documented approximation when the DR2 sidecar count is absent:
+        # assume the DR2 selection matches the pool size (no duplicates)
+        p.n_dr2_total = min(len(p.dr2_pool), max(p.n2_win, 1))
+    else:
+        p.n_dr2_total = max(int(round(float(v))), 0)
+    p.n_dr2_hi = min(p.n_dr2_total, len(p.dr2_pool))
+    gmag = catalog.get("phot_g_mean_mag_dr3", np.nan)
+    bright = np.isfinite(gmag) and gmag < gmag_threshold
+    if bright:
+        lo = int(np.ceil(p.n_dr2_total / 2))
+        p.n_dr2_lo = int(np.clip(lo, min(1, p.n_dr2_hi), p.n_dr2_hi))
+    else:
+        p.n_dr2_lo = p.n_dr2_hi
+    p.marginalize_dup = p.n_dr2_lo < p.n_dr2_hi
+    return p
+
+
+def _pool_ranks(priorities, pool_idx):
+    """0-based descending rank of each pool member's priority."""
+    pp = priorities[pool_idx]
+    order = jnp.argsort(-pp)
+    return jnp.zeros(len(pool_idx), jnp.int32).at[order].set(
+        jnp.arange(len(pool_idx), dtype=jnp.int32)
+    )
+
+
+def _dr3_weights(priorities, pools: _EpochPools):
+    """DR3 selection weights over the full epoch axis: top-n2_win of the
+    DR2-window pool + top-n_tail of the DR3-only tail (`g23h.jl:819-823`)."""
+    w = jnp.zeros(pools.n_epochs)
+    if len(pools.dr3_win):
+        r = _pool_ranks(priorities, pools.dr3_win)
+        w = w.at[pools.dr3_win].set((r < pools.n2_win).astype(w.dtype))
+    if len(pools.dr3_tail):
+        r = _pool_ranks(priorities, pools.dr3_tail)
+        w = w.at[pools.dr3_tail].set((r < pools.n_tail).astype(w.dtype))
+    return w
+
+
+def _dr2_weights(priorities, n_distinct, pools: _EpochPools):
+    """DR2 multiplicity weights (`_g23h_select_dr2_epochs`,
+    `g23h.jl:233-241`): the top-`n_distinct` pool epochs get weight 1,
+    and the `n_dr2_total - n_distinct` repeats wrap over the selection
+    in priority order — epoch at selection rank r receives
+    `n_rep // n_distinct + (r < n_rep % n_distinct)` extra copies."""
+    w = jnp.zeros(pools.n_epochs)
+    if not len(pools.dr2_pool):
+        return w
+    r = _pool_ranks(priorities, pools.dr2_pool)
+    n_distinct = jnp.maximum(jnp.asarray(n_distinct, jnp.int32), 1)
+    n_rep = jnp.maximum(pools.n_dr2_total - n_distinct, 0)
+    q = n_rep // n_distinct
+    rem = n_rep - q * n_distinct
+    mult = jnp.where(r < n_distinct, 1 + q + (r < rem).astype(jnp.int32), 0)
+    return w.at[pools.dr2_pool].set(mult.astype(w.dtype))
+
+
+def _rv_weights(priorities, w_dr3, n_rv, n_astro_sel):
+    """RV transits = top-n_rv priorities WITHIN the DR3 selection
+    (`g23h.jl:879-897`); all of it when n_rv >= n_astro_sel."""
+    if n_rv >= n_astro_sel:
+        return w_dr3
+    masked = jnp.where(w_dr3 > 0, priorities, -jnp.inf)
+    order = jnp.argsort(-masked)
+    ranks = jnp.zeros(len(masked), jnp.int32).at[order].set(
+        jnp.arange(len(masked), dtype=jnp.int32)
+    )
+    return jnp.where((ranks < n_rv) & (w_dr3 > 0), 1.0, 0.0)
+
+
+def _build_auto_variables(catalog, pools, hip_like, ueva_mode, include_iad,
+                          include_rv, freeze_epochs, seed):
+    """Default observation variables (`g23h.jl:687-905`): UEVA
+    calibration priors from the catalog sigma fields (population-median
+    constants if absent or ueva_mode none), fluxratio passthrough,
+    transit priorities, duplicate-count marginalization, IAD nuisances,
+    and the per-transit RV uncertainty prior."""
+    from ..distributions import LogNormal, LogUniform, Normal, Uniform, truncated
+    from ..model.variables import IIDVector
+
+    v = {}
+    has_sig = all(
+        np.isfinite(catalog.get(k, np.nan))
+        for k in ("sig_AL", "sig_AL_sigma", "sig_att_radec",
+                  "sig_att_radec_sigma", "sig_cal", "sig_cal_sigma")
+    )
+    if ueva_mode == "none" or not has_sig:
+        # inert placeholders / population medians (`g23h.jl:695-722`)
+        v["σ_AL"] = 0.132
+        v["σ_att"] = 0.0779
+        v["σ_calib"] = 0.0795
+    else:
+        v["σ_AL"] = truncated(
+            Normal(catalog["sig_AL"], catalog["sig_AL_sigma"]),
+            lower=1e-6, upper=10.0)
+        v["σ_att"] = truncated(
+            Normal(catalog["sig_att_radec"], catalog["sig_att_radec_sigma"]),
+            lower=1e-6, upper=10.0)
+        v["σ_calib"] = truncated(
+            Normal(catalog["sig_cal"], catalog["sig_cal_sigma"]),
+            lower=1e-6, upper=10.0)
+
+    def _fr(sys, obs):
+        return sys.fluxratio if hasproperty(sys, "fluxratio") else jnp.asarray(0.0)
+
+    def _frh(sys, obs):
+        return (
+            sys.fluxratio_hip
+            if hasproperty(sys, "fluxratio_hip")
+            else jnp.asarray(0.0)
+        )
+
+    v["fluxratio"] = _fr
+    v["fluxratio_hip"] = _frh
+
+    if freeze_epochs:
+        rng = np.random.default_rng(seed)
+        v["transit_priorities"] = rng.standard_normal(pools.n_epochs)
+        if pools.marginalize_dup:
+            v["u_dup_dr2"] = float(rng.uniform())
+    else:
+        v["transit_priorities"] = IIDVector(Normal(0.0, 1.0), pools.n_epochs)
+        if pools.marginalize_dup:
+            v["u_dup_dr2"] = Uniform(0.0, 1.0)
+
+    if include_iad and hip_like is not None:
+        pm_ra = float(hip_like.hip_sol["pm_ra"])
+        pm_de = float(hip_like.hip_sol["pm_de"])
+        v["hip_iad_jitter"] = LogUniform(0.001, 100.0)
+        v["iad_Δra"] = Uniform(-1000.0, 1000.0)
+        v["iad_Δdec"] = Uniform(-1000.0, 1000.0)
+        v["iad_Δplx"] = Uniform(-10.0, 10.0)
+        v["iad_Δpmra"] = Uniform(-1000.0, 1000.0)
+        v["iad_Δpmdec"] = Uniform(-1000.0, 1000.0)
+        v["iad_pmra"] = lambda sys, obs, _p=pm_ra: _p + obs["iad_Δpmra"]
+        v["iad_pmdec"] = lambda sys, obs, _p=pm_de: _p + obs["iad_Δpmdec"]
+
+    if (
+        include_rv
+        and np.isfinite(catalog.get("rv_ln_uncert_dr3", np.nan))
+        and np.isfinite(catalog.get("rv_ln_uncert_err_dr3", np.nan))
+    ):
+        v["σ_rv_per_transit"] = LogNormal(
+            catalog["rv_ln_uncert_dr3"], catalog["rv_ln_uncert_err_dr3"]
+        )
+    return v
 
 
 class G23HObs(AbstractObs):
@@ -114,8 +347,24 @@ class G23HObs(AbstractObs):
         include_rv: bool = True,
         variables=None,
         name="G23H",
+        marginalize_epochs: bool = True,
+        freeze_epochs: bool = False,
+        gaps_dr2=(),
+        gaps_dr3=(),
+        dr2_dup_gmag_threshold: float = 6.5,
+        epoch_rng_seed: int = 0,
     ):
+        pools = _epoch_pools(
+            catalog, gaia_like, gaps_dr2, gaps_dr3, dr2_dup_gmag_threshold
+        )
+        if variables is None and marginalize_epochs:
+            variables = _build_auto_variables(
+                catalog, pools, hip_like, ueva_mode,
+                include_iad and hip_like is not None, include_rv,
+                freeze_epochs, epoch_rng_seed,
+            )
         super().__init__(variables=variables, name=name)
+        self.pools = pools
         missing = [k for k in _REQ_CAT if k not in catalog]
         if missing:
             raise ValueError(f"G23H catalog row missing {missing}")
@@ -163,6 +412,15 @@ class G23HObs(AbstractObs):
         )
         self.A5_dr2 = prep(
             self._dr2_sel, self.catalog["epoch_ra_dr2_mjd"], self.catalog["epoch_dec_dr2_mjd"]
+        )
+        # full-pool design matrices for the weight-masked per-sample
+        # selections (rows outside a sample's selection get weight 0)
+        all_rows = np.arange(len(ep))
+        self.A5_dr3_full = prep(
+            all_rows, self.catalog["epoch_ra_dr3_mjd"], self.catalog["epoch_dec_dr3_mjd"]
+        )
+        self.A5_dr2_full = prep(
+            all_rows, self.catalog["epoch_ra_dr2_mjd"], self.catalog["epoch_dec_dr2_mjd"]
         )
 
         # epoch registration: hip scans then gaia scans
@@ -226,24 +484,63 @@ class G23HObs(AbstractObs):
         gt = self.gaia_like.table
         absolute = isinstance(ctx.orbits[0], AbsoluteVisualOrbit) if n_p else False
 
-        # ---- DR3 window -----------------------------------------------
-        sel3 = self._dr3_sel
-        d_a3 = jnp.zeros(len(sel3))
-        d_d3 = jnp.zeros(len(sel3))
+        # ---- per-sample epoch-selection weights -------------------------
+        # (`transit_priorities` -> weight masks; `g23h.jl:749-836`)
+        use_marg = (
+            isinstance(theta_obs, Params)
+            and "transit_priorities" in theta_obs
+            and getattr(self, "pools", None) is not None
+        )
+        if use_marg:
+            pr = jnp.asarray(theta_obs["transit_priorities"])
+            # selection is piecewise-constant in the priorities: gradients
+            # flow only through the prior (as in the reference, where
+            # ForwardDiff sees constant integer selections)
+            pr = jax.lax.stop_gradient(pr)
+            w_dr3 = _dr3_weights(pr, self.pools)
+            if self.pools.marginalize_dup and "u_dup_dr2" in theta_obs:
+                u = jax.lax.stop_gradient(theta_obs["u_dup_dr2"])
+                lo, hi = self.pools.n_dr2_lo, self.pools.n_dr2_hi
+                n_distinct = jnp.minimum(
+                    lo + jnp.floor(u * (hi - lo + 1)).astype(jnp.int32), hi
+                )
+            else:
+                n_distinct = jnp.asarray(self.pools.n_dr2_hi, jnp.int32)
+            w_dr2 = _dr2_weights(pr, n_distinct, self.pools)
+            n_dr3_modeled = self.pools.n2_win + self.pools.n_tail
+        else:
+            pr = None
+            w_dr3 = w_dr2 = None
+            n_dr3_modeled = len(self._dr3_sel)
+
+        # ---- photocentre perturbations over the FULL gaia table ---------
+        d_a = jnp.zeros(self.n_gaia)
+        d_d = jnp.zeros(self.n_gaia)
         for i in range(n_p):
             sol_g = take_epochs(ctx.solutions[i], ctx.epoch_start + self.n_hip, self.n_gaia)
             da, dd = skypath_perturbations_linear(
                 sol_g, ctx.orbits[i], masses[i], self._fluxratio(theta_obs, "fluxratio", i)
             )
             active = jnp.where(masses[i] != 0, 1.0, 0.0)
-            d_a3 = d_a3 + active * da[sel3]
-            d_d3 = d_d3 + active * dd[sel3]
-        out3 = fit_5param(
-            self.A5_dr3,
-            jnp.asarray(gt["cosphi"][sel3]),
-            jnp.asarray(gt["sinphi"][sel3]),
-            d_a3, d_d3, sigma=sigma_formal, include_chi2=True,
-        )
+            d_a = d_a + active * da
+            d_d = d_d + active * dd
+
+        # ---- DR3 window -------------------------------------------------
+        sel3 = self._dr3_sel
+        if use_marg:
+            out3 = fit_5param(
+                self.A5_dr3_full,
+                jnp.asarray(gt["cosphi"]), jnp.asarray(gt["sinphi"]),
+                d_a, d_d, sigma=sigma_formal, include_chi2=True,
+                weights=w_dr3, n_rows=n_dr3_modeled,
+            )
+        else:
+            out3 = fit_5param(
+                self.A5_dr3,
+                jnp.asarray(gt["cosphi"][sel3]),
+                jnp.asarray(gt["sinphi"][sel3]),
+                d_a[sel3], d_d[sel3], sigma=sigma_formal, include_chi2=True,
+            )
         da3, dd3, dpmra3, dpmdec3, _ = out3["parameters"]
         ra30, dec30, pmra30, pmdec30 = self._propagate_astrom(
             ctx.orbits[0] if n_p else None,
@@ -251,24 +548,21 @@ class G23HObs(AbstractObs):
         ) if n_p else (jnp.asarray(0.0), jnp.asarray(0.0), theta.pmra, theta.pmdec)
         mu_dr3 = jnp.stack([pmra30 + dpmra3, pmdec30 + dpmdec3])
 
-        # ---- DR2 window -----------------------------------------------
+        # ---- DR2 window ---------------------------------------------------
         sel2 = self._dr2_sel
-        d_a2 = jnp.zeros(len(sel2))
-        d_d2 = jnp.zeros(len(sel2))
-        for i in range(n_p):
-            sol_g = take_epochs(ctx.solutions[i], ctx.epoch_start + self.n_hip, self.n_gaia)
-            da, dd = skypath_perturbations_linear(
-                sol_g, ctx.orbits[i], masses[i], self._fluxratio(theta_obs, "fluxratio", i)
+        if use_marg:
+            out2 = fit_5param(
+                self.A5_dr2_full,
+                jnp.asarray(gt["cosphi"]), jnp.asarray(gt["sinphi"]),
+                d_a, d_d, weights=w_dr2,
             )
-            active = jnp.where(masses[i] != 0, 1.0, 0.0)
-            d_a2 = d_a2 + active * da[sel2]
-            d_d2 = d_d2 + active * dd[sel2]
-        out2 = fit_5param(
-            self.A5_dr2,
-            jnp.asarray(gt["cosphi"][sel2]),
-            jnp.asarray(gt["sinphi"][sel2]),
-            d_a2, d_d2,
-        )
+        else:
+            out2 = fit_5param(
+                self.A5_dr2,
+                jnp.asarray(gt["cosphi"][sel2]),
+                jnp.asarray(gt["sinphi"][sel2]),
+                d_a[sel2], d_d[sel2],
+            )
         da2, dd2, dpmra2, dpmdec2, _ = out2["parameters"]
         ra20, dec20, pmra20, pmdec20 = self._propagate_astrom(
             ctx.orbits[0] if n_p else None,
@@ -301,6 +595,9 @@ class G23HObs(AbstractObs):
                 sigma=jnp.asarray(ht["sres"]),
             )
             dah, ddh, dpmrah, dpmdech, _ = outh["parameters"]
+            # BINARYS-predicted PM bias magnitude for the epistemic
+            # catalog-covariance inflation (`g23h.jl:2189`)
+            hip_bias_pm_sq = dpmrah**2 + dpmdech**2
             rah0, dech0, pmrah0, pmdech0 = self._propagate_astrom(
                 ctx.orbits[0] if n_p else None,
                 _jyear_to_mjd(cat["epoch_ra_hip"]), _jyear_to_mjd(cat["epoch_dec_hip"]), theta,
@@ -350,6 +647,7 @@ class G23HObs(AbstractObs):
         else:
             mu_h = jnp.zeros(2)
             mu_hg = jnp.zeros(2)
+            hip_bias_pm_sq = jnp.asarray(0.0)
 
         # ---- DR3-DR2 ---------------------------------------------------
         if absolute:
@@ -396,7 +694,6 @@ class G23HObs(AbstractObs):
         mu_1_3 = UEVA_gaia ** (1.0 / 3.0)
         UEVA_unc = sigma_single * mu_single ** (-2.0 / 3.0) / 3.0
 
-        n_dr3_modeled = len(sel3)
         chi2_scaled = out3["chi_squared_astro"] * N_AL * (N_FoV / n_dr3_modeled)
         UEVA_model_raw = chi2_scaled * sigma_formal**2 / (N - dof)
         UEVA_model_1 = chi2_scaled * sigma_formal**2 / (N_AL * N_FoV - dof)
@@ -424,6 +721,10 @@ class G23HObs(AbstractObs):
             "sigma_att": sigma_att,
             "sigma_AL": sigma_AL,
             "absolute": absolute,
+            "hip_bias_pm_sq": hip_bias_pm_sq,
+            "priorities": pr,
+            "w_dr3": w_dr3,
+            "n_astro_sel": n_dr3_modeled,
         }
 
     # ------------------------------------------------------------------
@@ -474,14 +775,44 @@ class G23HObs(AbstractObs):
                     continue
                 sol_g = take_epochs(ctx.solutions[i], ctx.epoch_start + self.n_hip, self.n_gaia)
                 rv_model = rv_model + radvel(sol_g, theta_p.mass * MJUP2MSOL) / 1e3
-            rv_sel = rv_model[: min(N_rv, self.n_gaia)]
-            sample_var = jnp.var(rv_sel, ddof=1)
+            if sim["priorities"] is not None:
+                # transits_rv = top-n_rv priorities within the DR3
+                # selection (`g23h.jl:879-897`), as a weight mask
+                w_rv = _rv_weights(
+                    sim["priorities"], sim["w_dr3"], N_rv, sim["n_astro_sel"]
+                )
+                n_eff = jnp.maximum(jnp.sum(w_rv), 2.0)
+                mean_rv = jnp.sum(w_rv * rv_model) / n_eff
+                sample_var = jnp.sum(w_rv * (rv_model - mean_rv) ** 2) / (
+                    n_eff - 1.0
+                )
+            else:
+                rv_sel = rv_model[: min(N_rv, self.n_gaia)]
+                sample_var = jnp.var(rv_sel, ddof=1)
             s_cat_sq = (2 * N_rv / math.pi) * (eps_cat**2 - 0.113**2)
             ncp = (N_rv - 1) * sample_var / sigma_rv**2
             xi_sq = (N_rv - 1) * s_cat_sq / sigma_rv**2
             ll_rv = noncentral_chi2_logpdf(xi_sq, N_rv - 1, ncp) - 2 * jnp.log(sigma_rv)
             ll = ll + jnp.where(jnp.isfinite(ll_rv), ll_rv, -jnp.inf)
 
+        mv, dv, Ssel = self._assemble(ctx, sim)
+        L = jnp.linalg.cholesky(Ssel)
+        import jax.scipy.linalg as jsl
+
+        alpha = jsl.solve_triangular(L, mv - dv, lower=True)
+        ll_cat = (
+            -0.5 * jnp.sum(alpha**2)
+            - jnp.sum(jnp.log(jnp.diagonal(L)))
+            - 0.5 * mv.shape[0] * math.log(2 * math.pi)
+        )
+        ll = ll + jnp.where(jnp.isfinite(ll_cat), ll_cat, -jnp.inf)
+        return ll
+
+    def _assemble(self, ctx, sim):
+        """Selected channel model/data vectors + joint covariance
+        (`g23h.jl:1390-1568`), shared by ln_like, debug_pulls, and the
+        correlated generator."""
+        cat = self.catalog
         # ---- joint catalog channels -----------------------------------
         mu_h, mu_hg = sim["mu_h"], sim["mu_hg"]
         if sim["absolute"] and self.has_hip:
@@ -509,40 +840,94 @@ class G23HObs(AbstractObs):
 
         # covariance: block diagonal + DR2/DR3 cross + deflation
         S = jnp.zeros((11, 11))
+        d = sim["deflation"]
         if self.has_hip:
-            S = S.at[0:2, 0:2].set(jnp.asarray(self._block("hip")))
+            # BINARYS f_sigma inflation of the Hipparcos catalog block
+            # plus the epistemic bias term eps^2 |dpm_h|^2 I
+            # (`g23h.jl:1466-1518`; eps_binarys = 0.3)
+            Sh = jnp.asarray(self._block("hip"))
+            if sim["sigma_infl_hip"] is not None:
+                keep = jnp.asarray(~self.hip_like.table["reject"])
+                n_used = jnp.maximum(jnp.sum(keep), 1.0)
+                infl_sq = (
+                    jnp.sum(jnp.where(keep, sim["sigma_infl_hip"] ** 2, 0.0))
+                    / n_used
+                )
+                Sh = Sh * infl_sq
+            Sh = Sh + (0.3**2 * sim["hip_bias_pm_sq"]) * jnp.eye(2)
+            S = S.at[0:2, 0:2].set(Sh)
             S = S.at[2:4, 2:4].set(jnp.asarray(self._block("hg")))
         else:
             S = S.at[0:2, 0:2].set(jnp.eye(2))
             S = S.at[2:4, 2:4].set(jnp.eye(2))
         S = S.at[4:6, 4:6].set(jnp.asarray(self._block("dr2")))
-        d = sim["deflation"]
-        S = S.at[6:8, 6:8].set(jnp.asarray(self._block("dr32")) * d**2)
-        S = S.at[8:10, 8:10].set(jnp.asarray(self._block("dr3")) * d**2)
-        S = S.at[10, 10].set(sim["UEVA_unc"] ** 2)
+
+        # DR3-DR2 scaled-position block: exact deflation-adjusted
+        # central-position propagation when the catalog carries the
+        # central-epoch position covariances (`g23h.jl:1390-1445`),
+        # otherwise the d^2 diagonal approximation.
+        B32 = jnp.asarray(self._block("dr32"))
         rho_23 = float(cat.get("rho_dr2_dr3", 0.0))
+        central_keys = (
+            "ra_error_central_dr3", "dec_error_central_dr3",
+            "ra_dec_corr_central_dr3", "ra_error_central_dr2",
+            "dec_error_central_dr2", "ra_dec_corr_central_dr2",
+        )
+        have_central = all(
+            np.isfinite(cat.get(k, np.nan)) for k in central_keys
+        )
+        if have_central:
+            sr3 = cat["ra_error_central_dr3"]
+            sd3 = cat["dec_error_central_dr3"]
+            r3 = cat["ra_dec_corr_central_dr3"]
+            sr2 = cat["ra_error_central_dr2"]
+            sd2 = cat["dec_error_central_dr2"]
+            r2 = cat["ra_dec_corr_central_dr2"]
+            S_pos3 = jnp.asarray(
+                [[sr3**2, r3 * sr3 * sd3], [r3 * sr3 * sd3, sd3**2]]
+            )
+            S_cross = rho_23 * jnp.asarray(
+                [[sr3 * sr2, r3 * sr3 * sd2], [r2 * sd3 * sr2, sd3 * sd2]]
+            )
+            dS_pos = (d**2 - 1) * S_pos3 - (d - 1) * (S_cross + S_cross.T)
+            dt_ra = (
+                cat["epoch_ra_dr3_mjd"] - cat["epoch_ra_dr2_mjd"]
+            ) / JULIAN_YEAR_DAYS
+            dt_dec = (
+                cat["epoch_dec_dr3_mjd"] - cat["epoch_dec_dr2_mjd"]
+            ) / JULIAN_YEAR_DAYS
+            Tr = jnp.asarray([[1.0 / dt_ra, 0.0], [0.0, 1.0 / dt_dec]])
+            B32 = B32 + Tr @ dS_pos @ Tr.T
+        else:
+            B32 = B32 * d**2
+        S = S.at[6:8, 6:8].set(B32)
+        B3d = jnp.asarray(self._block("dr3")) * d**2
+        S = S.at[8:10, 8:10].set(B3d)
+        S = S.at[10, 10].set(sim["UEVA_unc"] ** 2)
         if rho_23 != 0.0:
-            b2 = self._block("dr2")
-            b3 = self._block("dr3")
-            K = rho_23 * np.sqrt(np.outer(np.diag(b2), np.diag(b3)))
-            S = S.at[4:6, 8:10].set(jnp.asarray(K) * d)
-            S = S.at[8:10, 4:6].set(jnp.asarray(K.T) * d)
+            # K = rho sqrt(S_dr2) sqrt(S_dr3_deflated)' (`g23h.jl:1561`)
+            K = rho_23 * _sqrt2x2(jnp.asarray(self._block("dr2"))) @ _sqrt2x2(B3d).T
+            S = S.at[4:6, 8:10].set(K)
+            S = S.at[8:10, 4:6].set(K.T)
 
         idx = np.asarray([_CHANNELS.index(k) for k in self.kinds])
-        mv = model_vec[idx]
-        dv = data_vec[idx]
-        Ssel = S[np.ix_(idx, idx)]
+        return model_vec[idx], data_vec[idx], S[np.ix_(idx, idx)]
+
+    def debug_pulls(self, ctx):
+        """Per-channel pulls (catalog - model)/sigma and whitened pulls
+        L^-1 (catalog - model) — the reference's `_G23H_DEBUG_PULLS`
+        hook (`g23h.jl:96-100,1570-1586`). At truth, over noise
+        realizations of the catalog, both are ~ N(0, 1)."""
+        sim = self.simulate(ctx)
+        mv, dv, Ssel = self._assemble(ctx, sim)
         L = jnp.linalg.cholesky(Ssel)
         import jax.scipy.linalg as jsl
 
-        alpha = jsl.solve_triangular(L, mv - dv, lower=True)
-        ll_cat = (
-            -0.5 * jnp.sum(alpha**2)
-            - jnp.sum(jnp.log(jnp.diagonal(L)))
-            - 0.5 * len(idx) * math.log(2 * math.pi)
-        )
-        ll = ll + jnp.where(jnp.isfinite(ll_cat), ll_cat, -jnp.inf)
-        return ll
+        return {
+            "kinds": list(self.kinds),
+            "pull": (dv - mv) / jnp.sqrt(jnp.diagonal(Ssel)),
+            "whitened": jsl.solve_triangular(L, dv - mv, lower=True),
+        }
 
     def pointwise_ln_like(self, ctx):
         return jnp.reshape(self.ln_like(ctx), (1,))
@@ -556,30 +941,25 @@ class G23HObs(AbstractObs):
 
     def generate_from_params(self, ctx, rng, add_noise=False):
         """Synthesize catalog channel values from the model
-        (`g23h.jl:2582-3002`, channel-value subset)."""
+        (`g23h.jl:2582-3002`, channel-value subset). With add_noise the
+        PM channels are drawn JOINTLY from the model's selected channel
+        covariance (including the DR2/DR3 cross block and deflation), so
+        whitened pulls at truth are exactly ~ N(0, I)."""
         sim = self.simulate(ctx)
+        mv, _, Ssel = self._assemble(ctx, sim)
+        mv = np.asarray(mv)
+        Ssel = np.asarray(Ssel)
+        pm_rows = [i for i, k in enumerate(self.kinds) if k != "ueva_dr3"]
+        draw = mv.copy()
+        if add_noise and pm_rows:
+            Spm = Ssel[np.ix_(pm_rows, pm_rows)]
+            Lpm = np.linalg.cholesky(Spm)
+            draw[pm_rows] = mv[pm_rows] + Lpm @ rng.standard_normal(len(pm_rows))
         cat = dict(self.catalog)
-        vals = {
-            "pmra_dr2": float(sim["mu_dr2"][0]), "pmdec_dr2": float(sim["mu_dr2"][1]),
-            "pmra_dr32": float(sim["mu_dr32"][0]), "pmdec_dr32": float(sim["mu_dr32"][1]),
-            "pmra_dr3": float(sim["mu_dr3"][0]), "pmdec_dr3": float(sim["mu_dr3"][1]),
-        }
-        if self.has_hip:
-            vals.update({
-                "pmra_hip": float(sim["mu_h"][0]), "pmdec_hip": float(sim["mu_h"][1]),
-                "pmra_hg": float(sim["mu_hg"][0]), "pmdec_hg": float(sim["mu_hg"][1]),
-            })
-        if add_noise:
-            for prefix in ("hip", "hg", "dr2", "dr32", "dr3"):
-                if f"pmra_{prefix}" not in vals:
-                    continue
-                b = self._block(prefix)
-                z = rng.standard_normal(2)
-                Lb = np.linalg.cholesky(b)
-                dvals = Lb @ z
-                vals[f"pmra_{prefix}"] += dvals[0]
-                vals[f"pmdec_{prefix}"] += dvals[1]
-        cat.update(vals)
+        for i, k in enumerate(self.kinds):
+            if k == "ueva_dr3":
+                continue
+            cat[f"pm{k}"] = float(draw[i])  # kinds are 'ra_dr3' etc.
         import copy
 
         new = copy.copy(self)

@@ -10,6 +10,7 @@ from .variables import (
     PlanetObservationContext,
     System,
     SystemObservationContext,
+    IIDVector,
     UniformCircular,
     UnitLengthPrior,
     UserLikelihood,
@@ -37,6 +38,7 @@ __all__ = [
     "PlanetObservationContext",
     "System",
     "SystemObservationContext",
+    "IIDVector",
     "UniformCircular",
     "UnitLengthPrior",
     "UserLikelihood",

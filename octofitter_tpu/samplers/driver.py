@@ -24,7 +24,8 @@ from ..model.logdensity import LogDensityModel
 from .nuts import run_nuts
 
 
-def _repackage(model: LogDensityModel, samples_t, lps, stats, info, t_sampling):
+def _repackage(model: LogDensityModel, samples_t, lps, stats, info, t_sampling,
+               sampler="nuts"):
     """Transformed draws -> named Chains with derived quantities.
 
     Equivalent of the reference's invlink -> arr2nt -> result2mcmcchain
@@ -68,7 +69,7 @@ def _repackage(model: LogDensityModel, samples_t, lps, stats, info, t_sampling):
     import datetime
 
     chain_info = {
-        "sampler": "nuts_vectorized",
+        "sampler": f"{sampler}_vectorized",
         "model_name": model.system.name,
         "stop_time": datetime.datetime.now().isoformat(timespec="seconds"),
         "step_size": np.asarray(info["step_size"]),
@@ -153,18 +154,33 @@ def octofit(
             initial_sigma = _initial_sigma_from_points(pts, metric)
 
     t0 = time.perf_counter()
-    samples, lps, stats, info = run_nuts(
-        vg,
-        theta0,
-        k_run,
-        n_warmup=adaptation,
-        n_samples=iterations,
-        max_depth=max_depth,
-        target_accept=target_accept,
-        metric=metric,
-        initial_sigma=initial_sigma,
-        sampler=sampler,
-    )
+    if sampler == "chees":
+        from .chees import run_chees
+
+        samples, lps, stats, info = run_chees(
+            vg,
+            theta0,
+            k_run,
+            n_warmup=adaptation,
+            n_samples=iterations,
+            target_accept=target_accept,
+            metric=metric,
+            initial_sigma=initial_sigma,
+            max_leapfrog=2**max_depth,
+        )
+    else:
+        samples, lps, stats, info = run_nuts(
+            vg,
+            theta0,
+            k_run,
+            n_warmup=adaptation,
+            n_samples=iterations,
+            max_depth=max_depth,
+            target_accept=target_accept,
+            metric=metric,
+            initial_sigma=initial_sigma,
+            sampler=sampler,
+        )
     jax.block_until_ready(samples)
     t_sampling = time.perf_counter() - t0
 
@@ -186,7 +202,7 @@ def octofit(
             f"  time per gradient eval   {us_per_step:.2f} us"
         )
 
-    return _repackage(model, samples, lps, stats, info, t_sampling)
+    return _repackage(model, samples, lps, stats, info, t_sampling, sampler)
 
 
 def octofit_rejection(

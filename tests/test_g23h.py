@@ -187,3 +187,192 @@ def test_g23h_ueva_none_mode(tmp_path):
     assert "ueva_dr3" not in g23h.kinds
     theta_t = model.link(model.sample_priors(jax.random.PRNGKey(1)))
     assert np.isfinite(float(model.ln_post(theta_t)))
+
+
+# --------------------------------------------------------------------------
+# Per-sample epoch-selection marginalization (weight masks)
+# --------------------------------------------------------------------------
+
+def g23h_catalog_row_full():
+    """Catalog row with the sidecar fields the auto-variables path uses."""
+    row = g23h_catalog_row()
+    row.update(
+        astrometric_matched_observations_dr2=30,
+        phot_g_mean_mag_dr3=5.5,  # bright -> duplicate marginalization
+        sig_AL=0.132, sig_AL_sigma=0.01,
+        sig_att_radec=0.0779, sig_att_radec_sigma=0.01,
+        sig_cal=0.0795, sig_cal_sigma=0.01,
+        ra_error_central_dr3=0.02, dec_error_central_dr3=0.02,
+        ra_dec_corr_central_dr3=0.1,
+        ra_error_central_dr2=0.04, dec_error_central_dr2=0.04,
+        ra_dec_corr_central_dr2=-0.05,
+        rv_ln_uncert_dr3=-1.0, rv_ln_uncert_err_dr3=0.2,
+    )
+    return row
+
+
+def test_g23h_selection_weights_match_reference_semantics():
+    """_dr3_weights/_dr2_weights reproduce the reference's top-k +
+    duplicate-wrap selection (`g23h.jl:233-241,819-823`) as weights."""
+    from octofitter_tpu.astrom.g23h import (
+        _dr2_weights,
+        _dr3_weights,
+        _EpochPools,
+    )
+
+    rng = np.random.default_rng(0)
+    n = 40
+    p = rng.standard_normal(n)
+    pools = _EpochPools()
+    pools.n_epochs = n
+    pools.dr3_win = np.arange(0, 25)
+    pools.dr3_tail = np.arange(25, 40)
+    pools.dr2_pool = np.arange(0, 20)
+    pools.n2_win = 10
+    pools.n_tail = 5
+    pools.n_dr2_total = 13
+
+    w3 = np.asarray(_dr3_weights(jnp.asarray(p), pools))
+    # numpy reference: top-10 of win pool, top-5 of tail pool
+    sel_win = pools.dr3_win[np.argsort(-p[pools.dr3_win])[:10]]
+    sel_tail = pools.dr3_tail[np.argsort(-p[pools.dr3_tail])[:5]]
+    expect = np.zeros(n)
+    expect[sel_win] = 1
+    expect[sel_tail] = 1
+    np.testing.assert_array_equal(w3, expect)
+    assert w3.sum() == 15
+
+    # DR2 with duplicates: 13 total over 8 distinct -> 5 repeats wrap
+    # the top-5 of the selection (reference `sel[mod1.(1:5, 8)]`)
+    n_distinct = 8
+    w2 = np.asarray(_dr2_weights(jnp.asarray(p), n_distinct, pools))
+    order = pools.dr2_pool[np.argsort(-p[pools.dr2_pool])]
+    sel = order[:n_distinct]
+    expect2 = np.zeros(n)
+    expect2[sel] = 1
+    for j in range(pools.n_dr2_total - n_distinct):
+        expect2[sel[j % n_distinct]] += 1
+    np.testing.assert_array_equal(w2, expect2)
+    assert w2.sum() == pools.n_dr2_total
+    # multiplicity >= 3 wrap case
+    w2b = np.asarray(_dr2_weights(jnp.asarray(p), 4, pools))
+    assert w2b.sum() == pools.n_dr2_total
+    assert w2b.max() == 4  # 13 = 4*3 + 1 -> top rank gets 1+3
+
+
+def g23h_model_marg(tmp_path, freeze=False):
+    iad = write_synth_iad(os.path.join(tmp_path, "synth_g23h_m.d"), res_sigma=1.5)
+    hip = HipparcosIADObs(iad_file=iad)
+    gaia = GaiaCatalogFitObs(gaia_sol=GAIA_SOL, scanlaw=synth_gost_dr23(tmp_path))
+    g23h = G23HObs(
+        catalog=g23h_catalog_row_full(),
+        gaia_like=gaia,
+        hip_like=hip,
+        freeze_epochs=freeze,
+    )
+    b = oc.Planet(
+        name="b",
+        basis="Visual{KepOrbit}",
+        variables=dict(
+            a=6.0, e=0.1, i=0.6, omega=1.0, Omega=2.0, tp=50000.0,
+            mass=dist.Uniform(0.0, 100.0),
+        ),
+    )
+    system = oc.System(
+        name="g23hmarg",
+        variables=dict(
+            M=1.1, plx=50.0,
+            pmra=dist.Normal(0.0, 100.0),
+            pmdec=dist.Normal(0.0, 100.0),
+        ),
+        companions=[b],
+        observations=[g23h],
+    )
+    return LogDensityModel(system, verbosity=0), g23h
+
+
+def test_g23h_epoch_marginalization_builds(tmp_path):
+    """Auto-variables path: transit priorities + duplicate-count
+    marginalization sampled per draw; weights hit the target counts."""
+    model, g23h = g23h_model_marg(tmp_path)
+    assert g23h.pools.marginalize_dup  # bright star, n_dr2_lo < n_dr2_hi
+    names = model.parameter_names
+    assert any(n.startswith("G23H_transit_priorities_") for n in names)
+    assert "G23H_u_dup_dr2" in names
+    assert "G23H_σ_AL" in names and "G23H_hip_iad_jitter" in names
+
+    theta_t = model.link(model.sample_priors(jax.random.PRNGKey(0)))
+    lp = float(model.ln_post(theta_t))
+    assert np.isfinite(lp)
+    _, grad = model.ln_post_and_grad(theta_t)
+    assert np.all(np.isfinite(np.asarray(grad)))
+
+    # two different priority draws give different likelihoods (the
+    # selection genuinely enters) but both finite
+    t2 = model.link(model.sample_priors(jax.random.PRNGKey(3)))
+    assert np.isfinite(float(model.ln_post(t2)))
+
+    # weight invariants at a prior draw
+    from octofitter_tpu.astrom.g23h import _dr2_weights, _dr3_weights
+
+    nt = model.arr2nt(model.invlink(theta_t))
+    pr = np.asarray(nt.observations["G23H"]["transit_priorities"])
+    w3 = np.asarray(_dr3_weights(jnp.asarray(pr), g23h.pools))
+    assert w3.sum() == g23h.pools.n2_win + g23h.pools.n_tail
+    w2 = np.asarray(_dr2_weights(jnp.asarray(pr), g23h.pools.n_dr2_hi, g23h.pools))
+    assert w2.sum() == g23h.pools.n_dr2_total
+
+
+def test_g23h_frozen_epochs(tmp_path):
+    """freeze_epochs=True draws the selection once as constants — no
+    extra sampled dimensions (`g23h.jl:804-817`)."""
+    model, g23h = g23h_model_marg(tmp_path, freeze=True)
+    names = model.parameter_names
+    assert not any(n.startswith("G23H_transit_priorities_") for n in names)
+    theta_t = model.link(model.sample_priors(jax.random.PRNGKey(0)))
+    assert np.isfinite(float(model.ln_post(theta_t)))
+
+
+def test_g23h_pulls_standard_normal_at_truth(tmp_path):
+    """Statistical gate (reference `_G23H_DEBUG_PULLS`, `g23h.jl:96-100`):
+    generate catalogs at truth with noise, whitened pulls ~ N(0, 1)."""
+    model, g23h = g23h_model_marg(tmp_path, freeze=True)
+    names = model.parameter_names
+    vals = {n: 0.0 for n in names}
+    vals.update({
+        "b_mass": 20.0, "pmra": -3.0, "pmdec": 7.0,
+        "G23H_σ_AL": 0.132, "G23H_σ_att": 0.0779, "G23H_σ_calib": 0.0795,
+        "G23H_hip_iad_jitter": 0.5,
+        "G23H_σ_rv_per_transit": 0.4,
+    })
+    flat_true = jnp.asarray([vals[n] for n in names])
+    nt = model.arr2nt(flat_true)
+
+    from octofitter_tpu.model.variables import SystemObservationContext
+    from octofitter_tpu.orbits import orbitsolve
+
+    orbits = model.construct_orbits(nt)
+    epochs = jnp.asarray(model._all_epochs)
+    sols = tuple(orbitsolve(o, epochs) for o in orbits)
+    ctx = SystemObservationContext(
+        theta_system=nt,
+        theta_obs=nt.observations["G23H"],
+        orbits=orbits,
+        solutions=sols,
+        epoch_start=model._epoch_start[id(g23h)],
+    )
+
+    rng = np.random.default_rng(0)
+    whitened = []
+    for _ in range(60):
+        noisy = g23h.generate_from_params(ctx, rng, add_noise=True)
+        out = noisy.debug_pulls(ctx)
+        w = np.asarray(out["whitened"])
+        # drop the UEVA row: its data is not re-drawn by the generator
+        pm = [i for i, k in enumerate(out["kinds"]) if k != "ueva_dr3"]
+        whitened.append(w[pm])
+    W = np.stack(whitened)
+    assert np.all(np.isfinite(W))
+    # ~600 samples of N(0,1): mean within 0.15, std within [0.85, 1.15]
+    assert abs(W.mean()) < 0.15
+    assert 0.85 < W.std() < 1.15
