@@ -41,6 +41,8 @@ __all__ = [
     "Sine",
     "UniformImproper",
     "KDEDist",
+    "DiscreteUniform",
+    "Categorical",
 ]
 
 _SQRT2 = math.sqrt(2.0)
@@ -50,6 +52,11 @@ _LOG_SQRT_2PI = 0.5 * math.log(2 * math.pi)
 @dataclasses.dataclass(frozen=True)
 class Distribution:
     """Base class: continuous univariate distribution with static params."""
+
+    #: discrete distributions are detected by LogDensityModel and
+    #: marginalized (the reference instead switches to gradient-free
+    #: sampling, `logdensitymodel.jl:38-41`)
+    discrete = False
 
     def logpdf(self, x):
         raise NotImplementedError
@@ -431,3 +438,86 @@ class KDEDist(Distribution):
 
     def std(self):
         return float(np.std(self.data))
+
+
+# --------------------------------------------------------------------------
+# Discrete distributions (small-domain; marginalized by LogDensityModel)
+# --------------------------------------------------------------------------
+
+@dataclasses.dataclass(frozen=True)
+class DiscreteUniform(Distribution):
+    """Uniform over the integers a..b inclusive. Detected by
+    LogDensityModel and marginalized over its domain via logsumexp —
+    the TPU-native replacement for the reference's gradient-free switch
+    on discrete priors (`logdensitymodel.jl:38-41`,
+    `initialization.jl:219-263`)."""
+
+    a: int = 0
+    b: int = 1
+
+    discrete = True
+
+    def domain(self):
+        return np.arange(int(self.a), int(self.b) + 1)
+
+    def logpmf(self, k):
+        n = int(self.b) - int(self.a) + 1
+        lp = jnp.full(jnp.shape(k), -math.log(n))
+        inside = (k >= self.a) & (k <= self.b)
+        return jnp.where(inside, lp, -jnp.inf)
+
+    # continuous-interface shims (used only if not marginalized)
+    def logpdf(self, x):
+        return self.logpmf(jnp.round(x))
+
+    def sample(self, key, shape=()):
+        return jax.random.randint(key, shape, int(self.a), int(self.b) + 1).astype(
+            jnp.result_type(float)
+        )
+
+    @property
+    def support(self):
+        return (float(self.a) - 0.5, float(self.b) + 0.5)
+
+
+@dataclasses.dataclass(frozen=True)
+class Categorical(Distribution):
+    """Categorical over explicit values with given probabilities
+    (normalized at construction). Marginalized like DiscreteUniform."""
+
+    probs: tuple = (0.5, 0.5)
+    values: tuple | None = None
+
+    discrete = True
+
+    def domain(self):
+        if self.values is not None:
+            return np.asarray(self.values, float)
+        return np.arange(len(self.probs), dtype=float)
+
+    def _logp(self):
+        p = np.asarray(self.probs, float)
+        p = p / p.sum()
+        return np.log(np.maximum(p, 1e-300))
+
+    def logpmf(self, k):
+        dom = self.domain()
+        logp = self._logp()
+        k = jnp.asarray(k)
+        out = jnp.full(jnp.shape(k), -jnp.inf)
+        for v, lp in zip(dom, logp):
+            out = jnp.where(k == v, lp, out)
+        return out
+
+    def logpdf(self, x):
+        return self.logpmf(x)
+
+    def sample(self, key, shape=()):
+        dom = jnp.asarray(self.domain())
+        idx = jax.random.categorical(key, jnp.asarray(self._logp()), shape=shape)
+        return dom[idx]
+
+    @property
+    def support(self):
+        dom = self.domain()
+        return (float(dom.min()) - 0.5, float(dom.max()) + 0.5)

@@ -70,24 +70,54 @@ class LogDensityModel:
                     obs.var_specs, ("planetobs", planet.name, obs.normalized_name)
                 )
 
-        self._prior_entries = entries
-        self.D = len(entries)
+        # Discrete priors are detected (reference: gradient-free switch,
+        # `logdensitymodel.jl:38-41`) and MARGINALIZED: the continuous
+        # posterior is logsumexp over the cartesian product of the
+        # discrete domains, which keeps the model fully differentiable
+        # on TPU. The per-draw conditional distribution of the discrete
+        # variables is available via discrete_conditional_logits.
+        cont = [e for e in entries if not getattr(e[2], "discrete", False)]
+        disc = [e for e in entries if getattr(e[2], "discrete", False)]
+        self._prior_entries = cont
+        self._discrete_entries = disc
+        self.D = len(cont)
         if self.D == 0:
-            raise ValueError("Model has no free (prior) parameters")
+            raise ValueError("Model has no free continuous (prior) parameters")
+
+        def _flat_name(path, name):
+            if path[0] == "sys":
+                return name
+            if path[0] in ("sysobs", "planet"):
+                return f"{path[1]}_{name}"
+            return f"{path[1]}_{path[2]}_{name}"
 
         # Flat parameter names using the chain naming contract
         # (`sampling.jl:551-635`): var, obs_var, planet_var, planet_obs_var.
-        names = []
-        for path, name, _, _ in entries:
-            if path[0] == "sys":
-                names.append(name)
-            elif path[0] == "sysobs":
-                names.append(f"{path[1]}_{name}")
-            elif path[0] == "planet":
-                names.append(f"{path[1]}_{name}")
-            else:
-                names.append(f"{path[1]}_{path[2]}_{name}")
-        self.parameter_names = names
+        self.parameter_names = [
+            _flat_name(path, name) for path, name, _, _ in cont
+        ]
+        self.discrete_names = [
+            _flat_name(path, name) for path, name, _, _ in disc
+        ]
+
+        if disc:
+            domains = [np.asarray(e[2].domain(), float) for e in disc]
+            K = int(np.prod([len(d) for d in domains]))
+            if K > 4096:
+                raise ValueError(
+                    f"discrete-domain product size {K} too large to "
+                    "marginalize; reduce the discrete domains"
+                )
+            grids = np.meshgrid(*domains, indexing="ij")
+            combos = np.stack([g.reshape(-1) for g in grids], axis=-1)
+            logw = np.zeros(len(combos))
+            for j, e in enumerate(disc):
+                logw += np.asarray(e[2].logpmf(jnp.asarray(combos[:, j])))
+            self._disc_combos = jnp.asarray(combos)
+            self._disc_logw = jnp.asarray(logw)
+        else:
+            self._disc_combos = None
+            self._disc_logw = None
 
         # ------------------------------------------------------------------
         # 2. Epoch gathering with per-obs start indices (`system.jl:35-54`):
@@ -130,8 +160,16 @@ class LogDensityModel:
             finite_in = jnp.all(jnp.isfinite(theta_t))
             theta = self.invlink(theta_t)
             lp = self.ln_prior_transformed(theta_t)
-            theta_nt = self.arr2nt(theta)
-            ll = self.ln_like_nt(theta_nt)
+            if self._disc_combos is None:
+                ll = self.ln_like_nt(self.arr2nt(theta))
+            else:
+                # marginalize the discrete variables: logsumexp over the
+                # domain product, weighted by the discrete prior pmf
+                lls = jax.vmap(
+                    lambda combo: self.ln_like_nt(self.arr2nt(theta, combo))
+                )(self._disc_combos)
+                lls = jnp.where(jnp.isnan(lls), -jnp.inf, lls)
+                ll = jax.scipy.special.logsumexp(self._disc_logw + lls)
             lpost = lp + ll
             return jnp.where(
                 finite_in & jnp.isfinite(lpost), lpost, -jnp.inf
@@ -171,23 +209,33 @@ class LogDensityModel:
     # ----------------------------------------------------------------------
     def _make_arr2nt(self):
         system = self.system
+        n_disc = len(self._discrete_entries)
 
         def eval_specs(specs, take, outer_scopes):
             d = {}
             for s in specs:
                 if s.kind == "prior":
-                    d[s.name] = take()
+                    d[s.name] = take(s)
                 elif s.kind == "constant":
                     d[s.name] = jnp.asarray(s.value)
                 else:
                     d[s.name] = s.value(*outer_scopes, Params(d))
             return d
 
-        def arr2nt(theta):
+        def arr2nt(theta, disc=None):
             theta = jnp.asarray(theta)
+            if n_disc and disc is None:
+                raise ValueError(
+                    "this model has discrete variables "
+                    f"({self.discrete_names}); arr2nt needs their values "
+                    "as a second argument"
+                )
             it = iter(range(self.D))
+            it_d = iter(range(n_disc))
 
-            def take():
+            def take(spec):
+                if getattr(spec.value, "discrete", False):
+                    return jnp.asarray(disc)[..., next(it_d)]
                 return theta[..., next(it)]
 
             sys_d = eval_specs(system.var_specs, take, ())
@@ -427,8 +475,25 @@ class LogDensityModel:
         perm = np.argsort(np.concatenate(order))
         return jnp.concatenate(parts, axis=-1)[..., perm]
 
+    def discrete_conditional_logits(self, theta_t):
+        """Unnormalized log P(discrete combo | theta_t): logpmf + loglike
+        per combo. Sample with jax.random.categorical to recover the
+        discrete variables per posterior draw."""
+        if self._disc_combos is None:
+            raise ValueError("model has no discrete variables")
+        theta = self.invlink(jnp.asarray(theta_t))
+        lls = jax.vmap(
+            lambda combo: self.ln_like_nt(self.arr2nt(theta, combo))
+        )(self._disc_combos)
+        lls = jnp.where(jnp.isnan(lls), -jnp.inf, lls)
+        return self._disc_logw + lls
+
     def drawfrompriors(self, key):
         """Structured prior draw (`drawfrompriors`, `variables.jl:1507`)."""
+        if self._disc_combos is not None:
+            k1, k2 = jax.random.split(key)
+            i = jax.random.categorical(k1, self._disc_logw)
+            return self.arr2nt(self.sample_priors(k2), self._disc_combos[i])
         return self.arr2nt(self.sample_priors(key))
 
     # ----------------------------------------------------------------------

@@ -32,15 +32,37 @@ def _repackage(model: LogDensityModel, samples_t, lps, stats, info, t_sampling,
     repackaging (`sampling.jl:465-527`)."""
     n_chains, n_draws, D = samples_t.shape
     flat_t = samples_t.reshape(-1, D)
+    has_disc = bool(getattr(model, "discrete_names", []))
 
-    @jax.jit
-    def postprocess(flat_t):
-        nat = jax.vmap(model.invlink)(flat_t)
-        nts = jax.vmap(model.arr2nt)(nat)
-        lprior = jax.vmap(model.ln_prior_transformed)(flat_t)
-        return nts, lprior
+    if has_disc:
+        # recover the marginalized discrete variables per draw by
+        # sampling their conditional given the continuous state
+        keys = jax.random.split(jax.random.PRNGKey(0), flat_t.shape[0])
 
-    nts, lprior = postprocess(flat_t)
+        @jax.jit
+        def postprocess(flat_t, keys):
+            def one(t, k):
+                logits = model.discrete_conditional_logits(t)
+                i = jax.random.categorical(k, logits)
+                return model._disc_combos[i]
+
+            disc = jax.vmap(one)(flat_t, keys)
+            nat = jax.vmap(model.invlink)(flat_t)
+            nts = jax.vmap(model.arr2nt)(nat, disc)
+            lprior = jax.vmap(model.ln_prior_transformed)(flat_t)
+            return nts, lprior, disc
+
+        nts, lprior, disc_draws = postprocess(flat_t, keys)
+    else:
+
+        @jax.jit
+        def postprocess(flat_t):
+            nat = jax.vmap(model.invlink)(flat_t)
+            nts = jax.vmap(model.arr2nt)(nat)
+            lprior = jax.vmap(model.ln_prior_transformed)(flat_t)
+            return nts, lprior
+
+        nts, lprior = postprocess(flat_t)
     cols = flatten_params_batch(nts)
     data = {}
     for k, v in cols.items():

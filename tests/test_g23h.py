@@ -376,3 +376,42 @@ def test_g23h_pulls_standard_normal_at_truth(tmp_path):
     # ~600 samples of N(0,1): mean within 0.15, std within [0.85, 1.15]
     assert abs(W.mean()) < 0.15
     assert 0.85 < W.std() < 1.15
+
+
+def test_g23h_injection_recovery_sampled(tmp_path):
+    """Sampled injection-recovery (reference
+    `test/test_g23h_simulation.jl:1-113`): inject a massive companion
+    through generate_from_params, refit with ChEES, assert the mass
+    posterior concentrates near the truth."""
+    from octofitter_tpu.model.generate import generate_from_params
+
+    model, g23h = g23h_model_marg(tmp_path, freeze=True)
+    names = model.parameter_names
+    true_mass = 40.0
+    vals = {n: 0.0 for n in names}
+    vals.update({
+        "b_mass": true_mass, "pmra": -3.0, "pmdec": 7.0,
+        "G23H_σ_AL": 0.132, "G23H_σ_att": 0.0779, "G23H_σ_calib": 0.0795,
+        "G23H_hip_iad_jitter": 0.5,
+        "G23H_σ_rv_per_transit": 0.4,
+    })
+    flat_true = jnp.asarray([vals[n] for n in names])
+    newsys = generate_from_params(
+        model, model.arr2nt(flat_true), add_noise=True,
+        rng=np.random.default_rng(5),
+    )
+    newmodel = LogDensityModel(newsys, verbosity=0)
+
+    chain = oc.octofit(
+        newmodel, chains=16, adaptation=400, iterations=300,
+        sampler="chees", verbosity=0, key=jax.random.PRNGKey(1),
+    )
+    summ = chain.summary()
+    m = summ["b_mass"]
+    # the injected mass must be recovered: pull within 5 sigma (one
+    # noise realization shifts the MLE by ~1-2 sigma) and the relative
+    # error small in absolute terms
+    pull = abs(m["mean"] - true_mass) / max(m["std"], 1e-6)
+    assert pull < 5.0
+    assert abs(m["mean"] - true_mass) / true_mass < 0.05
+    assert summ["b_mass"]["rhat"] < 1.1
