@@ -6,6 +6,7 @@ from .likelihoods import (
     cvis_point_sources,
     closure_phases_deg,
 )
+from .oifits import load_oifits, cp_indices
 from .gravity import (
     GRAVITYWideKPObs,
     GRAVITYWideKPLikelihood,
@@ -17,6 +18,8 @@ __all__ = [
     "InterferometryLikelihood",
     "cvis_point_sources",
     "closure_phases_deg",
+    "load_oifits",
+    "cp_indices",
     "GRAVITYWideKPObs",
     "GRAVITYWideKPLikelihood",
     "fiber_coupling_fraction",

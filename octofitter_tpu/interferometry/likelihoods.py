@@ -66,6 +66,15 @@ class InterferometryObs(AbstractObs):
     def __init__(self, observations, variables=None, name="interferometry"):
         super().__init__(variables=variables, name=name)
         rows = [dict(r) for r in observations]
+        # OIFITS auto-extraction: a row with `filename` is replaced by
+        # the parsed file contents (reference
+        # `OctofitterInterferometry.jl:32-38`); other row keys
+        # (epoch, wavelength_min/max_meters, use_vis2) pass through.
+        from .oifits import load_oifits
+
+        rows = [
+            load_oifits(**r) if "filename" in r else r for r in rows
+        ]
         for r in rows:
             dcps = np.asarray(r["dcps"], dtype=np.float64)
             if np.any(dcps == 0):

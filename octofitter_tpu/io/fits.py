@@ -92,20 +92,33 @@ def _parse_tform(tform: str):
     return repeat, code
 
 
-def read_bintable(path, hdu: int | None = None) -> dict[str, np.ndarray]:
+def read_bintable(
+    path, hdu: int | None = None, extname: str | None = None
+) -> dict[str, np.ndarray]:
     """Read a BINTABLE HDU as a dict of column-name -> numpy array.
 
-    hdu: extension index (1 = first extension). None: first BINTABLE.
+    hdu: extension index (1 = first extension). extname: select by the
+    EXTNAME card (OIFITS-style, e.g. "OI_VIS2"). Default: first
+    BINTABLE.
     """
     with open(path, "rb") as f:
         header = _parse_header(f)  # primary
         _skip_data(f, header)
         ext_i = 0
         while True:
-            header = _parse_header(f)
+            try:
+                header = _parse_header(f)
+            except Exception as e:
+                raise KeyError(
+                    f"no BINTABLE matching hdu={hdu} extname={extname!r} "
+                    f"in {path}"
+                ) from e
             ext_i += 1
             is_table = str(header.get("XTENSION", "")).startswith("BINTABLE")
-            if (hdu is None and is_table) or (hdu is not None and ext_i == hdu):
+            if extname is not None:
+                if is_table and str(header.get("EXTNAME", "")).strip() == extname:
+                    break
+            elif (hdu is None and is_table) or (hdu is not None and ext_i == hdu):
                 if not is_table:
                     raise ValueError(f"HDU {ext_i} is not a BINTABLE")
                 break
@@ -179,27 +192,31 @@ def _pad_block(b: bytes, fill=b" ") -> bytes:
     return b + fill * pad
 
 
-def write_bintable(path, table: dict, header_cards: dict | None = None):
-    """Write a dict of 1-D arrays (float/int/str) as a FITS BINTABLE."""
+def _bintable_bytes(table: dict, header_cards: dict | None = None) -> bytes:
+    """Serialize one BINTABLE HDU. Columns may be 1-D (scalar per row)
+    or 2-D (vector per row, TFORM repeat > 1, e.g. OIFITS wavelength
+    axes)."""
     names = list(table.keys())
     cols = [np.asarray(table[n]) for n in names]
     n_rows = len(cols[0]) if cols else 0
 
     tforms, np_fields = [], []
     for n, c in zip(names, cols):
+        rep = 1 if c.ndim == 1 else int(np.prod(c.shape[1:]))
+        shape = () if c.ndim == 1 else c.shape[1:]
         if c.dtype.kind == "f":
-            tforms.append("D")
-            np_fields.append((n, ">f8"))
+            tforms.append(f"{rep}D" if rep != 1 else "D")
+            np_fields.append((n, ">f8", shape))
         elif c.dtype.kind in "iu":
-            tforms.append("K")
-            np_fields.append((n, ">i8"))
+            tforms.append(f"{rep}K" if rep != 1 else "K")
+            np_fields.append((n, ">i8", shape))
         elif c.dtype.kind in "US":
             width = max(1, int(np.char.str_len(c.astype(str)).max()))
             tforms.append(f"{width}A")
-            np_fields.append((n, f"S{width}"))
+            np_fields.append((n, f"S{width}", shape))
         elif c.dtype.kind == "b":
-            tforms.append("L")
-            np_fields.append((n, "u1"))
+            tforms.append(f"{rep}L" if rep != 1 else "L")
+            np_fields.append((n, "u1", shape))
         else:
             raise NotImplementedError(f"column {n}: dtype {c.dtype}")
     rec = np.zeros(n_rows, dtype=np.dtype(np_fields))
@@ -212,19 +229,6 @@ def write_bintable(path, table: dict, header_cards: dict | None = None):
         else:
             rec[n] = c
 
-    # primary HDU
-    prim = b"".join(
-        [
-            _card("SIMPLE", True, "conforms to FITS standard"),
-            _card("BITPIX", 8),
-            _card("NAXIS", 0),
-            _card("EXTEND", True),
-            b"END".ljust(80),
-        ]
-    )
-    out = _pad_block(prim)
-
-    # bintable header
     cards = [
         _card("XTENSION", "BINTABLE", "binary table extension"),
         _card("BITPIX", 8),
@@ -241,11 +245,39 @@ def write_bintable(path, table: dict, header_cards: dict | None = None):
     for k, v in (header_cards or {}).items():
         cards.append(_card(str(k)[:8].upper(), v))
     cards.append(b"END".ljust(80))
-    out += _pad_block(b"".join(cards))
-    out += _pad_block(rec.tobytes(), fill=b"\x00")
+    return _pad_block(b"".join(cards)) + _pad_block(rec.tobytes(), fill=b"\x00")
 
+
+def _primary_bytes() -> bytes:
+    prim = b"".join(
+        [
+            _card("SIMPLE", True, "conforms to FITS standard"),
+            _card("BITPIX", 8),
+            _card("NAXIS", 0),
+            _card("EXTEND", True),
+            b"END".ljust(80),
+        ]
+    )
+    return _pad_block(prim)
+
+
+def write_bintable(path, table: dict, header_cards: dict | None = None):
+    """Write a dict of arrays (float/int/str/bool; 1-D or 2-D) as a
+    single-extension FITS BINTABLE file."""
     with open(path, "wb") as f:
-        f.write(out)
+        f.write(_primary_bytes())
+        f.write(_bintable_bytes(table, header_cards))
+
+
+def write_bintables(path, hdus):
+    """Write multiple BINTABLE extensions to one FITS file.
+
+    hdus: iterable of (table_dict, header_cards) — set EXTNAME in the
+    cards to make extensions findable by name (OIFITS layout)."""
+    with open(path, "wb") as f:
+        f.write(_primary_bytes())
+        for table, cards in hdus:
+            f.write(_bintable_bytes(table, cards))
 
 
 def read_header(path, hdu: int = 1) -> dict:

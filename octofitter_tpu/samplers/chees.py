@@ -232,6 +232,7 @@ def run_chees(
     max_leapfrog: int = 1024,
     initial_step_size: float = 0.05,
     adam_lr: float = 0.025,
+    warmup_state: dict | None = None,
 ):
     """Warmup + sample with cross-chain ChEES adaptation.
 
@@ -240,6 +241,10 @@ def run_chees(
     state: step size, trajectory length, and metric are adapted jointly
     from all chains, which converges far faster than per-chain Stan
     windows at large chain counts.
+
+    warmup_state: dict(step_size, trajectory_length, sigma) from a
+    previous run's info — skips warmup entirely and samples with the
+    saved tuning (checkpoint-resume of the sampler state).
     """
     theta0_batch = jnp.asarray(theta0_batch)
     C, D = theta0_batch.shape
@@ -261,10 +266,44 @@ def run_chees(
 
     vg_batch = jax.vmap(value_and_grad)
 
+    skip_warmup = warmup_state is not None
+    if skip_warmup:
+        ws_eps = jnp.asarray(warmup_state["step_size"], dtype)
+        ws_T = jnp.asarray(warmup_state["trajectory_length"], dtype)
+        ws_sigma = jnp.asarray(warmup_state["sigma"], dtype)
+
     @jax.jit
     def _run(theta0, key, sigma0):
         lp0, grad0 = vg_batch(theta0)
         metric0 = metric_from_sigma(sigma0)
+
+        if skip_warmup:
+            metric_f = metric_from_sigma(ws_sigma)
+            lp0, grad0 = vg_batch(theta0)
+
+            def sample_step0(carry2, u):
+                Theta, lp, Grad, key = carry2
+                key, k_step = jax.random.split(key)
+                Theta, lp, Grad, stats, _ = _chees_transition(
+                    vg_batch, Theta, lp, Grad, k_step, ws_eps, ws_T, u,
+                    metric_f, max_leapfrog,
+                )
+                return (Theta, lp, Grad, key), (Theta, lp, stats)
+
+            (_, _, _, _), (Thetas, lps, stats) = jax.lax.scan(
+                sample_step0, (theta0, lp0, grad0, key), halton_s
+            )
+            samples = jnp.moveaxis(Thetas, 0, 1)
+            lps_out = jnp.moveaxis(lps, 0, 1)
+            stats_out = jax.tree.map(lambda x: jnp.moveaxis(x, 0, 1), stats)
+            info = {
+                "step_size": ws_eps,
+                "trajectory_length": ws_T,
+                "sigma": metric_f.sigma,
+                "warmup_divergences": jnp.asarray(0),
+                "trajectory_length_trace": jnp.zeros((0,), dtype),
+            }
+            return samples, lps_out, stats_out, info
 
         carry0 = {
             "Theta": theta0,

@@ -50,6 +50,59 @@ def _make_annealed_vg(model):
     return jax.value_and_grad(annealed, has_aux=True)
 
 
+def _pt_save_checkpoint(path, state: dict):
+    """Round-boundary PT checkpoint (reference: Pigeons checkpoint=true,
+    `OctofitterPigeonsExt.jl:81`, `docs/src/parallel-sampling.md:14`).
+    Captures every loop-carried quantity, so a resumed run is
+    bit-identical to an uninterrupted one."""
+    da = state["da_states"]
+    da_arr = np.stack(
+        [
+            np.asarray(
+                [d.log_eps, d.log_eps_avg, d.h_avg, d.mu, d.count], float
+            )
+            for d in da
+        ]
+    )
+    np.savez(
+        path,
+        theta=np.asarray(state["theta"]),
+        betas=np.asarray(state["betas"]),
+        eps=np.asarray(state["eps"]),
+        sigma_diag=np.asarray(state["sigma_diag"]),
+        labels=state["labels"],
+        direction=state["direction"],
+        n_round_trips=state["n_round_trips"],
+        sweep_counter=state["sweep_counter"],
+        next_round=state["next_round"],
+        da=da_arr,
+        key_data=np.asarray(jax.random.key_data(state["key"])),
+    )
+
+
+def _pt_load_checkpoint(path):
+    from .nuts import DualAveragingState
+
+    z = np.load(path)
+    da_states = [
+        DualAveragingState(*(jnp.asarray(row[i]) for i in range(5)))
+        for row in z["da"]
+    ]
+    return dict(
+        theta=jnp.asarray(z["theta"]),
+        betas=jnp.asarray(z["betas"]),
+        eps=jnp.asarray(z["eps"]),
+        sigma_diag=jnp.asarray(z["sigma_diag"]),
+        labels=z["labels"],
+        direction=z["direction"],
+        n_round_trips=int(z["n_round_trips"]),
+        sweep_counter=int(z["sweep_counter"]),
+        next_round=int(z["next_round"]),
+        da_states=da_states,
+        key=jax.random.wrap_key_data(jnp.asarray(z["key_data"])),
+    )
+
+
 def octofit_pigeons(
     model,
     *,
@@ -60,6 +113,8 @@ def octofit_pigeons(
     explorer_max_depth: int = 8,
     target_accept: float = 0.8,
     verbosity: int = 1,
+    checkpoint: str | None = None,
+    resume: str | None = None,
 ):
     """Parallel-tempered sampling; returns (Chains, pt_info dict).
 
@@ -67,6 +122,11 @@ def octofit_pigeons(
     n_chains temperatures between prior and posterior, rounds double in
     length; `n_walkers` independent ladders run vectorized for
     throughput (TPU-native addition).
+
+    checkpoint: path; after every non-final round the full PT state is
+    saved there (npz). resume: path of such a checkpoint; the run
+    continues mid-schedule, bit-identical to an uninterrupted run with
+    the same n_rounds.
     """
     if key is None:
         key = jax.random.PRNGKey(0)
@@ -173,8 +233,30 @@ def octofit_pigeons(
     total_swaps = np.zeros(N - 1)
     barrier = None
     sweep_counter = 0
+    start_round = 0
 
-    for rnd in range(n_rounds):
+    if resume is not None:
+        st = _pt_load_checkpoint(resume)
+        if st["theta"].shape != (W, N, D):
+            raise ValueError(
+                f"checkpoint shape {st['theta'].shape} does not match "
+                f"(n_walkers={W}, n_chains={N}, D={D})"
+            )
+        theta = st["theta"]
+        betas = st["betas"]
+        eps = st["eps"]
+        sigma_diag = st["sigma_diag"]
+        labels = st["labels"]
+        direction = st["direction"]
+        n_round_trips = st["n_round_trips"]
+        sweep_counter = st["sweep_counter"]
+        da_states = st["da_states"]
+        key = st["key"]
+        start_round = st["next_round"]
+        if verbosity >= 1:
+            print(f"octofit_pigeons: resumed at round {start_round + 1}")
+
+    for rnd in range(start_round, n_rounds):
         n_sweeps = 2 ** (rnd + 1)
         rej_round = np.zeros(N - 1)
         att_round = np.zeros(N - 1)
@@ -258,6 +340,18 @@ def octofit_pigeons(
             print(
                 f"PT round {rnd + 1}/{n_rounds}: {n_sweeps} sweeps, "
                 f"barrier {barrier:.2f}, round trips {n_round_trips}"
+            )
+
+        if checkpoint is not None and not record:
+            _pt_save_checkpoint(
+                checkpoint,
+                dict(
+                    theta=theta, betas=betas, eps=eps,
+                    sigma_diag=sigma_diag, labels=labels,
+                    direction=direction, n_round_trips=n_round_trips,
+                    sweep_counter=sweep_counter, next_round=rnd + 1,
+                    da_states=da_states, key=key,
+                ),
             )
 
     t_total = time.perf_counter() - t_start
