@@ -2,5 +2,34 @@
 
 from .octoplot import octoplot, astromplot, rvtimeplot, pmaplot, rvpostplot
 from .corner import octocorner
+from .panels import (
+    absastromplot,
+    astromtimeplot,
+    completenessplot,
+    dotplot,
+    gaiatimeplot,
+    hgcaplot,
+    hipparcosplot,
+    masspostplot,
+    physorbitplot,
+    skytrackplot,
+)
 
-__all__ = ["octoplot", "octocorner", "astromplot", "rvtimeplot", "pmaplot", "rvpostplot"]
+__all__ = [
+    "octoplot",
+    "octocorner",
+    "astromplot",
+    "rvtimeplot",
+    "pmaplot",
+    "rvpostplot",
+    "astromtimeplot",
+    "physorbitplot",
+    "masspostplot",
+    "dotplot",
+    "hgcaplot",
+    "hipparcosplot",
+    "gaiatimeplot",
+    "skytrackplot",
+    "absastromplot",
+    "completenessplot",
+]

@@ -129,40 +129,114 @@ def pmaplot(model, chain, ax=None, n_draws=50):
     return ax
 
 
-def octoplot(model, chain, fname=None, n_draws=50):
-    """Multi-panel summary figure (`octoplot.jl:35`): sky orbit plot,
-    plus RV and PM panels when those data types are present."""
-    from ..rv.likelihoods import _BaseRVObs
+def octoplot(
+    model,
+    chain,
+    fname=None,
+    n_draws=50,
+    show_astrom=None,
+    show_physical_orbit=None,
+    show_astrom_time=None,
+    show_rv=None,
+    show_relative_rv=None,
+    show_pma=None,
+    show_absastrom=None,
+    show_mass=False,
+    show_hipparcos=None,
+    show_gaia=None,
+):
+    """Multi-panel summary figure (`octoplot.jl:35-110`): the panel set
+    adapts to the data types present in the model (None = auto), like
+    the reference's 9-panel composite. Flags force panels on/off."""
+    from ..astrom.g23h import G23HObs
+    from ..astrom.gaia_dr4 import GaiaDR4AstromObs
+    from ..astrom.hipparcos import HipparcosIADObs
     from ..likelihoods.hgca import HGCAInstantaneousObs
+    from ..likelihoods.relastrom import PlanetRelAstromObs
+    from ..rv.likelihoods import _BaseRVObs, PlanetRelativeRVObs
+    from . import panels
 
-    has_rv = any(isinstance(o, _BaseRVObs) for o in model.system.observations)
-    has_pma = any(
-        isinstance(o, HGCAInstantaneousObs) for o in model.system.observations
-    ) or any(type(o).__name__ == "HGCAObs" for o in model.system.observations)
+    sysobs = model.system.observations
+    plobs = [o for p in model.system.planets for o in p.observations]
 
-    n_rows = 1 + int(has_rv) + int(has_pma)
-    fig = plt.figure(figsize=(7, 6 + 3 * (n_rows - 1)))
-    gs = fig.add_gridspec(n_rows, 1, height_ratios=[2] + [1] * (n_rows - 1))
-    ax0 = fig.add_subplot(gs[0])
-    astromplot(model, chain, ax=ax0, n_draws=n_draws)
-    row = 1
-    if has_rv:
-        rvtimeplot(model, chain, ax=fig.add_subplot(gs[row]), n_draws=n_draws)
-        row += 1
-    if has_pma:
-        # single-axis PMA summary
-        axp = fig.add_subplot(gs[row])
-        ts = jnp.linspace(47500.0, 58500.0, 400)
-        for p in model.system.planets:
-            orbits, masses = _sample_orbits(model, chain, p.name, n_draws)
-            for orbit, m in zip(orbits, masses):
-                sol = orbitsolve(orbit, ts)
-                axp.plot(np.asarray(ts), np.asarray(pmra(sol, m)),
-                         color="C0", alpha=0.08, lw=0.8)
-        axp.set_ylabel(r"$\Delta\mu_{\alpha*}$ [mas/yr]")
-        axp.set_xlabel("epoch [MJD]")
+    def _auto(flag, cond):
+        return cond if flag is None else flag
+
+    has_astrom = any(isinstance(o, PlanetRelAstromObs) for o in plobs)
+    show_astrom = _auto(show_astrom, has_astrom or len(model.system.planets) > 0)
+    show_astrom_time = _auto(show_astrom_time, has_astrom)
+    show_physical_orbit = _auto(show_physical_orbit, False)
+    show_rv = _auto(show_rv, any(isinstance(o, _BaseRVObs) for o in sysobs))
+    show_relative_rv = _auto(
+        show_relative_rv, any(isinstance(o, PlanetRelativeRVObs) for o in plobs)
+    )
+    show_pma = _auto(
+        show_pma,
+        any(isinstance(o, HGCAInstantaneousObs) for o in sysobs)
+        or any(type(o).__name__ == "HGCAObs" for o in sysobs),
+    )
+    show_absastrom = _auto(
+        show_absastrom, any(isinstance(o, G23HObs) for o in sysobs)
+    )
+    show_hipparcos = _auto(
+        show_hipparcos, any(isinstance(o, HipparcosIADObs) for o in sysobs)
+    )
+    show_gaia = _auto(
+        show_gaia, any(isinstance(o, GaiaDR4AstromObs) for o in sysobs)
+    )
+    show_mass = _auto(
+        show_mass,
+        any(f"{p.name}_mass" in chain.data for p in model.system.planets),
+    )
+
+    # panel list: (rows, builder)
+    jobs = []
+    if show_astrom:
+        jobs.append((2, lambda sub: astromplot(
+            model, chain, ax=sub.subplots(), n_draws=n_draws)))
+    if show_physical_orbit:
+        jobs.append((2, lambda sub: panels.physorbitplot(
+            model, chain, ax=sub.subplots(), n_draws=n_draws)))
+    if show_astrom_time:
+        jobs.append((2, lambda sub: panels.astromtimeplot(
+            model, chain, axs=sub.subplots(2, 1, sharex=True),
+            n_draws=n_draws)))
+    if show_rv:
+        jobs.append((1, lambda sub: rvtimeplot(
+            model, chain, ax=sub.subplots(), n_draws=n_draws)))
+    if show_relative_rv:
+        jobs.append((1, lambda sub: rvtimeplot(
+            model, chain, ax=sub.subplots(), n_draws=n_draws)))
+    if show_pma:
+        jobs.append((2, lambda sub: panels.hgcaplot(
+            model, chain, axs=sub.subplots(2, 1, sharex=True),
+            n_draws=n_draws)))
+    if show_absastrom:
+        jobs.append((1, lambda sub: panels.absastromplot(
+            model, chain, ax=sub.subplots(), n_draws=min(n_draws, 20))))
+    if show_hipparcos:
+        jobs.append((1, lambda sub: panels.hipparcosplot(
+            model, chain, ax=sub.subplots(), n_draws=min(n_draws, 20))))
+    if show_gaia:
+        jobs.append((1, lambda sub: panels.gaiatimeplot(
+            model, chain, ax=sub.subplots(), n_draws=min(n_draws, 20))))
+    if show_mass:
+        jobs.append((1, lambda sub: panels.masspostplot(
+            model, chain, axs=sub.subplots(1, 2))))
+
+    if not jobs:
+        raise ValueError("octoplot: no panels enabled / no plottable data")
+
+    heights = [r for r, _ in jobs]
+    fig = plt.figure(figsize=(7, 2.6 * sum(heights)))
+    subfigs = fig.subfigures(len(jobs), 1, height_ratios=heights)
+    if len(jobs) == 1:
+        subfigs = [subfigs]
+    for sub, (_, build) in zip(subfigs, jobs):
+        build(sub)
     fig.suptitle(model.system.name)
-    fig.tight_layout()
+    if fname is None:
+        fname = f"{model.system.name}-plot-grid.png"
     if fname:
         fig.savefig(fname, dpi=150)
     return fig

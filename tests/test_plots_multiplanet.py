@@ -111,3 +111,106 @@ def test_multi_planet_model():
     )
     assert np.isfinite(float(val))
     assert np.all(np.isfinite(np.asarray(grad)))
+
+
+# ---------------------------------------------------------------------------
+# Per-datatype panel smoke tests (reference `ext/OctofitterMakieExt/`)
+# ---------------------------------------------------------------------------
+
+from octofitter_tpu.plots import (  # noqa: E402
+    absastromplot,
+    astromtimeplot,
+    completenessplot,
+    dotplot,
+    gaiatimeplot,
+    hgcaplot,
+    hipparcosplot,
+    masspostplot,
+    physorbitplot,
+    skytrackplot,
+)
+
+
+def test_astromtimeplot_physorbit_skytrack_dotplot(fitted):
+    model, chain = fitted
+    axs = astromtimeplot(model, chain, n_draws=5)
+    assert len(axs) == 2
+    assert physorbitplot(model, chain, n_draws=5) is not None
+    assert skytrackplot(model, chain) is not None
+    assert dotplot(model, chain, n_draws=200) is not None
+
+
+@pytest.fixture(scope="module")
+def g23h_fitted(tmp_path_factory):
+    import sys as _sys
+    sys_path = os.path.dirname(os.path.abspath(__file__))
+    if sys_path not in _sys.path:
+        _sys.path.insert(0, sys_path)
+    from test_g23h import g23h_model_marg
+
+    tmp = str(tmp_path_factory.mktemp("g23hplots"))
+    model, g23h = g23h_model_marg(tmp, freeze=True)
+    chain = oc.octofit(
+        model, chains=4, adaptation=200, iterations=100,
+        sampler="chees", verbosity=0,
+    )
+    return model, chain
+
+
+def test_g23h_panels(g23h_fitted, tmp_path):
+    model, chain = g23h_fitted
+    axs = hgcaplot(model, chain, n_draws=5)
+    assert len(axs) == 2
+    assert hipparcosplot(model, chain, n_draws=4) is not None
+    assert absastromplot(model, chain, n_draws=4) is not None
+    assert masspostplot(model, chain) is not None
+    # full adaptive composite renders and saves
+    fname = os.path.join(tmp_path, "g23h-grid.png")
+    octoplot(model, chain, fname=fname, n_draws=5)
+    assert os.path.exists(fname)
+
+
+def test_gaiatimeplot(tmp_path):
+    from octofitter_tpu.astrom import GaiaDR4AstromObs
+
+    rng = np.random.default_rng(0)
+    n = 30
+    epochs = np.sort(rng.uniform(57000, 58500, n))
+    obs = GaiaDR4AstromObs(
+        dict(
+            epoch=epochs,
+            centroid_pos_al=rng.standard_normal(n) * 0.05,
+            centroid_pos_error_al=np.full(n, 0.05),
+            scan_pos_angle=rng.uniform(0, 2 * np.pi, n),
+            parallax_factor_al=rng.uniform(-0.7, 0.7, n),
+        ),
+        gaia_sol=dict(ra=68.0, dec=-51.0),
+        variables=dict(astrometric_jitter=dist.LogUniform(1e-4, 1.0)),
+    )
+    b = oc.Planet(
+        name="b", basis="Visual{KepOrbit}",
+        variables=dict(a=2.0, e=0.1, i=0.5, omega=1.0, Omega=2.0,
+                       tp=57000.0, mass=dist.Uniform(0.0, 50.0)),
+    )
+    system = oc.System(
+        name="dr4plot", variables=dict(M=1.0, plx=50.0, pmra=0.0, pmdec=0.0),
+        companions=[b], observations=[obs],
+    )
+    model = oc.LogDensityModel(system, verbosity=0)
+    chain = oc.octofit(model, chains=2, adaptation=150, iterations=80,
+                       sampler="chees", verbosity=0)
+    assert gaiatimeplot(model, chain, n_draws=4) is not None
+
+
+def test_completenessplot():
+    from octofitter_tpu.analysis.completeness import CompletenessMap
+
+    masses = np.linspace(1, 50, 6)
+    seps = np.linspace(1, 30, 5)
+    M, S = np.meshgrid(masses, seps, indexing="ij")
+    comp = np.clip((M / 50.0) * (S / 30.0) * 2, 0, 1)
+    cmap = CompletenessMap(
+        masses=masses, separations=seps, completeness=comp,
+        n_detected=(comp * 10).astype(int), n_total=np.full_like(comp, 10, int),
+    )
+    assert completenessplot(cmap) is not None
