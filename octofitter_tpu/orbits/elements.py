@@ -360,8 +360,10 @@ def orbitsolve(elem, t):
         from .extra_bases import (
             CartesianOrbit,
             FixedPositionOrbit,
+            HyperbolicOrbit,
             orbitsolve_cartesian,
             orbitsolve_fixed,
+            orbitsolve_hyperbolic,
         )
 
         if isinstance(elem, AbsoluteVisualOrbit):
@@ -370,6 +372,8 @@ def orbitsolve(elem, t):
             return orbitsolve_fixed(elem, t)
         if isinstance(elem, CartesianOrbit):
             return orbitsolve_cartesian(elem, t)
+        if isinstance(elem, HyperbolicOrbit):
+            return orbitsolve_hyperbolic(elem, t)
         raise TypeError(f"Unsupported orbit element type {type(elem).__name__}")
 
     return OrbitSolution(

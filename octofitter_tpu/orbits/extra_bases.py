@@ -158,3 +158,74 @@ def orbitsolve_cartesian(elem: CartesianOrbit, t):
     import dataclasses
 
     return dataclasses.replace(sol, elem=elem)
+
+
+# --------------------------------------------------------------------------
+# Hyperbolic orbits (e > 1, a < 0) — `docs/src/index.md:34` capability
+# --------------------------------------------------------------------------
+
+@_pytree_dataclass
+class HyperbolicOrbit:
+    """Visual hyperbolic orbit, Campbell elements with e > 1 and a < 0
+    (AU, standard convention; a > 0 input is negated). Covers the
+    reference's hyperbolic-orbit support (`docs/src/index.md:34`,
+    PlanetOrbits.jl e > 1 branch) with the same accessor surface as
+    VisualOrbit; the solver is the guarded Newton on
+    e sinh(H) - H = M with an implicit-diff JVP (`orbits/kepler.py`).
+    """
+
+    a: jax.Array       # semi-major axis [AU], negative
+    e: jax.Array       # eccentricity > 1
+    i: jax.Array       # inclination [rad]
+    omega: jax.Array   # argument of periastron [rad]
+    Omega: jax.Array   # longitude of ascending node [rad]
+    tp: jax.Array      # periastron passage epoch [MJD]
+    M: jax.Array       # total mass [Msun]
+    plx: jax.Array     # parallax [mas]
+
+    @classmethod
+    def from_params(cls, **kw):
+        kw = _resolve_aliases(kw)
+        return cls(**_pick(kw, "a", "e", "i", "omega", "Omega", "tp", "M", "plx"))
+
+
+def orbitsolve_hyperbolic(elem: HyperbolicOrbit, t):
+    """Solve a hyperbolic orbit at epoch(s) t [MJD]."""
+    from .kepler import kepler_solver_hyperbolic
+    from .elements import _thiele_innes_unit
+
+    t = jnp.asarray(t)
+    a = -jnp.abs(elem.a)                       # enforce a < 0
+    e = elem.e
+    mu = GAUSSIAN_GRAV_CONST**2 * elem.M       # AU^3/day^2
+    n = jnp.sqrt(mu / (-a) ** 3)               # rad/day
+    MA = n * (t - elem.tp)
+    H = kepler_solver_hyperbolic(MA, e)
+    ch, sh = jnp.cosh(H), jnp.sinh(H)
+    sq = jnp.sqrt(e**2 - 1.0)
+    X = a * (ch - e)                           # r cos(nu)
+    Y = -a * sq * sh                           # r sin(nu)
+    r = a * (1.0 - e * ch)                     # = |a|(e cosh H - 1) > 0
+    Hdot = n / (e * ch - 1.0)
+    VX = a * sh * Hdot
+    VY = -a * sq * ch * Hdot
+    nu = jnp.arctan2(Y, X)
+
+    A, B, F, G = _thiele_innes_unit(elem)
+    sw, cw = jnp.sin(elem.omega), jnp.cos(elem.omega)
+    si = jnp.sin(elem.i)
+    posx = B * X + G * Y
+    posy = A * X + F * Y
+    posz = si * (sw * X + cw * Y)
+    vx = B * VX + G * VY
+    vy = A * VX + F * VY
+    vz = si * (sw * VX + cw * VY)
+    plx = elem.plx
+    return OrbitSolution(
+        elem=elem, t=t, EA=H, nu=nu, r=r,
+        posx=posx, posy=posy, posz=posz, vx=vx, vy=vy, vz=vz,
+        raoff_mas=posx * plx, decoff_mas=posy * plx,
+        pmra_masyr=vx * plx * JULIAN_YEAR_DAYS,
+        pmdec_masyr=vy * plx * JULIAN_YEAR_DAYS,
+        radvel_ms=vz * AUDAY_TO_MS,
+    )

@@ -223,3 +223,70 @@ def test_cartesian_orbit_roundtrip():
             np.testing.assert_allclose(float(raoff(sv)), float(raoff(sc)), atol=1e-7)
             np.testing.assert_allclose(float(decoff(sv)), float(decoff(sc)), atol=1e-7)
             np.testing.assert_allclose(float(radvel(sv)), float(radvel(sc)), atol=1e-4)
+
+
+def test_hyperbolic_orbit_invariants():
+    """Hyperbolic basis (e > 1, a < 0; `docs/src/index.md:34`): conic
+    equation, vis-viva, solver residual, accessor surface, gradients."""
+    from octofitter_tpu.orbits import HyperbolicOrbit, projectedseparation
+    from octofitter_tpu.constants import GAUSSIAN_GRAV_CONST
+
+    a, e = -5.0, 1.5
+    elem = HyperbolicOrbit.from_params(
+        a=a, e=e, i=0.5, omega=0.7, Omega=1.2, tp=57000.0, M=1.3, plx=40.0
+    )
+    ts = jnp.linspace(56000.0, 58000.0, 9)
+    sol = orbitsolve(elem, ts)
+    mu = GAUSSIAN_GRAV_CONST**2 * 1.3
+
+    # conic equation r = a(1-e^2)/(1+e cos nu)
+    p = a * (1 - e**2)
+    r_conic = p / (1 + e * np.cos(np.asarray(sol.nu)))
+    np.testing.assert_allclose(np.asarray(sol.r), r_conic, rtol=1e-12)
+    assert np.all(np.asarray(sol.r) > 0)
+
+    # vis-viva v^2 = mu (2/r - 1/a)
+    v2 = np.asarray(sol.vx) ** 2 + np.asarray(sol.vy) ** 2 + np.asarray(sol.vz) ** 2
+    np.testing.assert_allclose(v2, mu * (2 / np.asarray(sol.r) - 1 / a), rtol=1e-12)
+
+    # solver residual e sinh H - H = M
+    H = np.asarray(sol.EA)
+    n = np.sqrt(mu / (-a) ** 3)
+    M = n * (np.asarray(ts) - 57000.0)
+    np.testing.assert_allclose(e * np.sinh(H) - H, M, atol=1e-10)
+
+    # accessors finite; separation grows along the outbound asymptote
+    seps = np.asarray(projectedseparation(sol))
+    assert np.all(np.isfinite(seps))
+    assert np.all(np.isfinite(np.asarray(raoff(sol))))
+    assert np.all(np.isfinite(np.asarray(sol.radvel_ms)))
+
+    # differentiable through the hyperbolic solver
+    def f(ee):
+        el = HyperbolicOrbit.from_params(
+            a=a, e=ee, i=0.5, omega=0.7, Omega=1.2, tp=57000.0, M=1.3,
+            plx=40.0,
+        )
+        return orbitsolve(el, jnp.asarray(56500.0)).raoff_mas
+
+    g = float(jax.grad(f)(1.5))
+    g_fd = (float(f(1.5 + 1e-6)) - float(f(1.5 - 1e-6))) / 2e-6
+    np.testing.assert_allclose(g, g_fd, rtol=1e-5)
+
+
+def test_hyperbolic_basis_in_model():
+    """The Hyperbolic{KepOrbit} basis string resolves and samples."""
+    import octofitter_tpu as oc
+    from octofitter_tpu import distributions as dist
+
+    b = oc.Planet(
+        name="b", basis="Hyperbolic{KepOrbit}",
+        variables=dict(
+            a=-5.0, e=dist.Uniform(1.1, 3.0), i=0.5, omega=0.7,
+            Omega=1.2, tp=57000.0,
+        ),
+    )
+    sysm = oc.System(name="hyp", variables=dict(M=1.3, plx=40.0), companions=[b])
+    m = oc.LogDensityModel(sysm, verbosity=0)
+    theta_t = m.link(m.sample_priors(jax.random.PRNGKey(0)))
+    assert np.isfinite(float(m.ln_post(theta_t)))
