@@ -41,6 +41,7 @@ from .gaia import GaiaCatalogFitLikelihood, GaiaCatalogFitObs
 from .hgca_linfit import HGCALikelihood, HGCAObs
 from .gaia_dr4 import GaiaDR4Astrom, GaiaDR4AstromObs
 from .g23h import G23HObs, G23HLikelihood, noncentral_chi2_logpdf
+from .g23h_catalog import load_g23h_catalog_row
 
 __all__ = [
     "earth_position_au",
@@ -79,6 +80,7 @@ __all__ = [
     "GaiaDR4Astrom",
     "GaiaDR4AstromObs",
     "G23HObs",
+    "load_g23h_catalog_row",
     "G23HLikelihood",
     "noncentral_chi2_logpdf",
 ]

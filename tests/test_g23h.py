@@ -415,3 +415,69 @@ def test_g23h_injection_recovery_sampled(tmp_path):
     assert pull < 5.0
     assert abs(m["mean"] - true_mass) / true_mass < 0.05
     assert summ["b_mass"]["rhat"] < 1.1
+
+
+def test_g23h_catalog_feather_ingestion(tmp_path):
+    """Arrow/feather catalog + DR2 sidecar ingestion feeding G23HObs
+    end-to-end (reference keeps a feather test-subset fixture,
+    `test/G23H-test-subset.feather`; loader `g23h.jl:146-241`)."""
+    import pyarrow as pa
+    import pyarrow.feather as feather
+
+    from octofitter_tpu.astrom import load_g23h_catalog_row
+
+    # two-source catalog; target is row 1; one masked (NaN) field
+    base = g23h_catalog_row_full()
+    base.pop("astrometric_matched_observations_dr2")
+    cols = {k: [v * 0.5, v] for k, v in base.items()}
+    cols["gaia_id"] = [111, 222]
+    cols["hip_id"] = [71, 72]
+    cols["radial_velocity_error"] = [np.nan, base["radial_velocity_error"]]
+    cat_path = os.path.join(tmp_path, "g23h-subset.feather")
+    feather.write_feather(pa.table(cols), cat_path)
+
+    sidecar_path = os.path.join(tmp_path, "g23h-dr2-transits.feather")
+    feather.write_feather(
+        pa.table({
+            "gaia_id": [111, 222],
+            "astrometric_matched_observations_dr2": [12, 30],
+        }),
+        sidecar_path,
+    )
+
+    row = load_g23h_catalog_row(
+        cat_path, gaia_id=222, dr2_transits_catalog=sidecar_path
+    )
+    assert row["pmra_dr3_error"] == base["pmra_dr3_error"]
+    assert row["astrometric_matched_observations_dr2"] == 30
+    assert row["gaia_id"] == 222
+
+    # the loaded row constructs a working marginalized G23HObs
+    iad = write_synth_iad(os.path.join(tmp_path, "synth_cat.d"), res_sigma=1.5)
+    hip = HipparcosIADObs(iad_file=iad)
+    gaia = GaiaCatalogFitObs(gaia_sol=GAIA_SOL, scanlaw=synth_gost_dr23(tmp_path))
+    g23h = G23HObs(catalog=row, gaia_like=gaia, hip_like=hip, freeze_epochs=True)
+    assert g23h.pools.n_dr2_total == 30
+
+    b = oc.Planet(
+        name="b", basis="Visual{KepOrbit}",
+        variables=dict(a=6.0, e=0.1, i=0.6, omega=1.0, Omega=2.0,
+                       tp=50000.0, mass=dist.Uniform(0.0, 100.0)),
+    )
+    system = oc.System(
+        name="g23hcat",
+        variables=dict(M=1.1, plx=50.0, pmra=dist.Normal(0.0, 100.0),
+                       pmdec=dist.Normal(0.0, 100.0)),
+        companions=[b], observations=[g23h],
+    )
+    m = LogDensityModel(system, verbosity=0)
+    theta_t = m.link(m.sample_priors(jax.random.PRNGKey(0)))
+    assert np.isfinite(float(m.ln_post(theta_t)))
+
+    # masked NaN fields are dropped -> RV channel disabled for source 111
+    row0 = load_g23h_catalog_row(cat_path, gaia_id=111)
+    assert "radial_velocity_error" not in row0
+    # missing source errors clearly
+    import pytest as _pytest
+    with _pytest.raises(KeyError):
+        load_g23h_catalog_row(cat_path, gaia_id=999)

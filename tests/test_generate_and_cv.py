@@ -147,3 +147,52 @@ def test_sbc_trial_runs():
     assert set(out["ranks"]) == set(model.parameter_names)
     for v in out["ranks"].values():
         assert 0.0 <= v <= 1.0
+
+
+def test_sbc_rank_uniformity_calibration():
+    """SBC calibration gate (reference `sbc.jl:35-117`): over repeated
+    prior-draw -> generate -> refit trials, the rank of each true
+    parameter in its marginal posterior must be uniform. This gates the
+    whole inference stack (generator + likelihood + sampler)."""
+    from octofitter_tpu.analysis.sbc import calibrate
+    from scipy.stats import kstest
+
+    # small, fast, well-identified model: 2 free parameters
+    def small_model():
+        astrom = oc.PlanetRelAstromObs(make_synthetic_astrom(6), name="simdata")
+        b = oc.Planet(
+            name="b", basis="Visual{KepOrbit}",
+            variables=dict(
+                a=dist.Uniform(8.0, 12.0),
+                e=dist.Uniform(0.0, 0.3),
+                i=0.6, omega=1.0, Omega=2.0, tp=57000.0,
+            ),
+            observations=[astrom],
+        )
+        return LogDensityModel(
+            oc.System(
+                name="sbc", variables=dict(M=1.2, plx=50.0), companions=[b]
+            ),
+            verbosity=0,
+        )
+
+    model = small_model()
+    n_trials = 20
+    res = calibrate(
+        model, n_trials=n_trials, seed=3,
+        sampler_kwargs=dict(
+            sampler="chees", chains=8, adaptation=300, iterations=200,
+        ),
+        init_at_truth=True,
+        verbosity=0,
+    )
+    assert set(res) == {"b_a", "b_e"}
+    for name, r in res.items():
+        ranks = r["ranks"]
+        assert len(ranks) == n_trials
+        # KS test against uniform; alpha=0.005 with a documented flake
+        # budget (the reference documents its divergence flake rate the
+        # same way, `test/integration/sampling.jl:10-24`)
+        p = kstest(ranks, "uniform").pvalue
+        assert p > 0.005, f"{name}: SBC ranks not uniform (p={p:.4f}, ranks={ranks})"
+        assert 0.25 < np.mean(ranks) < 0.75
