@@ -76,6 +76,8 @@ from .astrom import (
 from .orbits import AbsoluteVisualOrbit
 from . import interferometry
 from . import atmosphere
+from .config import OctofitterConfig, get_config, set_config
+from . import utils
 from . import plots
 from .interferometry import InterferometryObs, InterferometryLikelihood
 from .atmosphere import (

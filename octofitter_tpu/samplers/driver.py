@@ -125,25 +125,50 @@ def _initial_sigma_from_points(points, metric):
 
 def octofit(
     model: LogDensityModel,
-    target_accept: float = 0.8,
+    target_accept: float | None = None,
     *,
     key=None,
-    chains: int = 4,
-    adaptation: int = 1000,
-    iterations: int = 1000,
-    max_depth: int = 12,
-    verbosity: int = 1,
+    chains: int | None = None,
+    adaptation: int | None = None,
+    iterations: int | None = None,
+    max_depth: int | None = None,
+    verbosity: int | None = None,
     starting_points=None,
     metric: str = "dense",
-    sampler: str = "nuts",
+    sampler: str | None = None,
+    profile_dir: str | None = None,
 ):
-    """Sample the posterior with vectorized NUTS.
+    """Sample the posterior with a vectorized transition (ChEES default).
 
     Defaults mirror the reference (`sampling.jl:317-325`):
     adaptation=1000, iterations=1000, max_depth=12, target_accept=0.8,
     dense metric seeded from the starting-point covariance — but
-    `chains` may be thousands on a TPU chip.
+    `chains` may be thousands on a TPU chip. Unset arguments resolve
+    from the typed config (OCTOFITTER_* env overrides; config.py).
+    profile_dir: capture a JAX profiler trace of the run there.
     """
+    from ..config import get_config
+
+    cfg = get_config()
+    target_accept = cfg.target_accept if target_accept is None else target_accept
+    chains = cfg.chains if chains is None else chains
+    adaptation = cfg.adaptation if adaptation is None else adaptation
+    iterations = cfg.iterations if iterations is None else iterations
+    max_depth = cfg.max_depth if max_depth is None else max_depth
+    verbosity = cfg.verbosity if verbosity is None else verbosity
+    sampler = cfg.sampler if sampler is None else sampler
+    profile_dir = (cfg.profile_dir or None) if profile_dir is None else profile_dir
+    if profile_dir:
+        from ..utils import profile_trace
+
+        with profile_trace(profile_dir):
+            return octofit(
+                model, target_accept, key=key, chains=chains,
+                adaptation=adaptation, iterations=iterations,
+                max_depth=max_depth, verbosity=verbosity,
+                starting_points=starting_points, metric=metric,
+                sampler=sampler, profile_dir="",
+            )
     if key is None:
         key = jax.random.PRNGKey(0)
     k_init, k_run = jax.random.split(key)

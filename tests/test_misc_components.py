@@ -313,3 +313,57 @@ def test_gravity_kp_likelihood():
     theta_t = model.link(jnp.asarray([0.02, 0.05, 0.1])[np.argsort([names.index(n) for n in ["GRAV_flux","GRAV_kp_jitter","GRAV_kp_Cy"]])])
     val, grad = model.ln_post_and_grad(theta_t)
     assert np.isfinite(float(val)) and np.all(np.isfinite(np.asarray(grad)))
+
+
+def test_typed_config_env_overrides(monkeypatch):
+    """Typed config dataclass + OCTOFITTER_* env overrides (SURVEY
+    section 5 config/flag system)."""
+    from octofitter_tpu.config import config_from_env, get_config, set_config
+
+    cfg = config_from_env(env={})
+    assert cfg.sampler == "chees" and cfg.chains == 4
+
+    cfg = config_from_env(env={
+        "OCTOFITTER_SAMPLER": "hmc",
+        "OCTOFITTER_CHAINS": "128",
+        "OCTOFITTER_TARGET_ACCEPT": "0.9",
+        "OCTOFITTER_ENABLE_X64": "true",
+        "OCTO_GOST_CATALOG": "/data/gost.csv",
+    })
+    assert cfg.sampler == "hmc"
+    assert cfg.chains == 128
+    assert abs(cfg.target_accept - 0.9) < 1e-12
+    assert cfg.enable_x64 is True
+    assert cfg.gost_catalog == "/data/gost.csv"
+
+    # programmatic override round-trip on the global config
+    old = get_config().verbosity
+    try:
+        assert set_config(verbosity=3).verbosity == 3
+        import pytest as _p
+        with _p.raises(AttributeError):
+            set_config(nonsense=1)
+    finally:
+        set_config(verbosity=old)
+
+
+def test_timing_probe_and_profile_trace(tmp_path):
+    """Profiler hooks: timing probe + a real jax.profiler trace."""
+    import jax.numpy as jnp
+    from octofitter_tpu.utils import profile_trace, timing_probe
+
+    def f(x):
+        return jnp.sum(x * x)
+
+    out = timing_probe(f, jnp.arange(1000.0), n_iter=5)
+    assert out["compile_s"] > 0 and out["per_iter_s"] > 0
+    assert out["compile_s"] > out["per_iter_s"]
+
+    logdir = str(tmp_path / "prof")
+    with profile_trace(logdir):
+        jax.block_until_ready(jax.jit(f)(jnp.arange(100.0)))
+    import os as _os
+    found = []
+    for root, dirs, files in _os.walk(logdir):
+        found += files
+    assert found  # trace files were written
