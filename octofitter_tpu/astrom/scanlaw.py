@@ -50,19 +50,39 @@ def load_gost_csv(path_or_table) -> dict:
     (`gaia-utils.jl:915-916`): phi is measured such that
     cos(phi) = cos(pi/2 + scanAngle), sin(phi) = sin(pi/2 + scanAngle).
     """
-    import pandas as pd
-
     if isinstance(path_or_table, (str, os.PathLike)):
-        df = pd.read_csv(path_or_table)
+        # native C++ fast path (octofitter_tpu/native); pandas fallback
+        cols_map = None
+        try:
+            from .. import native
+
+            if native.available():
+                cols_map = native.read_csv_columns(path_or_table)
+        except Exception:
+            cols_map = None
+        if cols_map is None:
+            import pandas as pd
+
+            df = pd.read_csv(path_or_table)
+            cols_map = {
+                str(c).strip(): np.asarray(df[c], dtype=np.float64)
+                if df[c].dtype.kind in "if"
+                else np.full(len(df), np.nan)
+                for c in df.columns
+            }
     else:
-        df = pd.DataFrame(path_or_table)
-    df.columns = [c.strip() for c in df.columns]
+        cols_map = {
+            str(k).strip(): np.asarray(v, dtype=np.float64)
+            for k, v in dict(path_or_table).items()
+        }
 
     def col(*candidates):
         for c in candidates:
-            if c in df.columns:
-                return np.asarray(df[c], dtype=np.float64)
-        raise KeyError(f"GOST csv missing column; tried {candidates}: has {list(df.columns)}")
+            if c in cols_map:
+                return np.asarray(cols_map[c], dtype=np.float64)
+        raise KeyError(
+            f"GOST csv missing column; tried {candidates}: has {list(cols_map)}"
+        )
 
     tcb = col(
         "ObservationTimeAtBarycentre[BarycentricJulianDateInTCB]",
