@@ -7,6 +7,11 @@ saves plots.
 Run: python examples/01_quickstart_astrometry.py
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import numpy as np
 import jax
 import jax.numpy as jnp

@@ -7,6 +7,11 @@ beta-Pic-like massive companion.
 Run: python examples/02_joint_astrom_pma_rv.py
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import numpy as np
 import jax
 import jax.numpy as jnp

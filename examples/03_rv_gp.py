@@ -7,6 +7,11 @@ the O(N) differentiable celerite SHO kernel.
 Run: python examples/03_rv_gp.py
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import numpy as np
 import jax.numpy as jnp
 

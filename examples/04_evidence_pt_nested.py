@@ -7,6 +7,11 @@ circular) by log-evidence, computed two independent ways.
 Run: python examples/04_evidence_pt_nested.py
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import numpy as np
 import jax
 import jax.numpy as jnp

@@ -26,6 +26,12 @@ class OctofitterConfig:
     target_accept: float = 0.8
     max_depth: int = 12
 
+    # initialization pipeline (model.initialize)
+    init_prior_samples: int = 100_000
+    init_multistart: int = 512
+    init_opt_steps: int = 1000
+    init_draws: int = 1000
+
     # numerics
     enable_x64: bool = False        # parity harness sets True
 

@@ -28,17 +28,28 @@ def initialize(
     model,
     key=None,
     *,
-    n_prior_samples: int = 100_000,
-    n_multistart: int = 1024,
-    n_opt_steps: int = 2000,
-    n_draws: int = 1000,
+    n_prior_samples: int | None = None,
+    n_multistart: int | None = None,
+    n_opt_steps: int | None = None,
+    n_draws: int | None = None,
     verbosity: int = 1,
 ):
     """Find the posterior mode and populate `model.starting_points`.
 
+    Unset sizes resolve from the typed config (OCTOFITTER_INIT_* env
+    overrides) — lower them for cheap CPU runs, raise for hard
+    multimodal posteriors.
+
     Returns the mode (unconstrained space). Sets `model.starting_points`
     (array [n, D], unconstrained) and `model.laplace_sigma` ([D, D]).
     """
+    from ..config import get_config
+
+    cfg = get_config()
+    n_prior_samples = cfg.init_prior_samples if n_prior_samples is None else n_prior_samples
+    n_multistart = cfg.init_multistart if n_multistart is None else n_multistart
+    n_opt_steps = cfg.init_opt_steps if n_opt_steps is None else n_opt_steps
+    n_draws = cfg.init_draws if n_draws is None else n_draws
     if key is None:
         key = jax.random.PRNGKey(0)
     k_search, k_rand, k_draws = jax.random.split(key, 3)

@@ -213,7 +213,10 @@ def octofit(
             target_accept=target_accept,
             metric=metric,
             initial_sigma=initial_sigma,
-            max_leapfrog=2**max_depth,
+            # ChEES trajectories are capped harder than a NUTS tree:
+            # on plateau posteriors the adapted length can otherwise
+            # run to 2**max_depth leapfrogs per step
+            max_leapfrog=min(2**max_depth, 1024),
         )
     else:
         samples, lps, stats, info = run_nuts(

@@ -110,7 +110,9 @@ def octofit_pigeons(
     n_rounds: int = 10,
     n_chains: int = 16,
     n_walkers: int = 32,
+    explorer: str = "nuts",
     explorer_max_depth: int = 8,
+    explorer_n_leapfrog: int = 64,
     target_accept: float = 0.8,
     verbosity: int = 1,
     checkpoint: str | None = None,
@@ -127,6 +129,14 @@ def octofit_pigeons(
     saved there (npz). resume: path of such a checkpoint; the run
     continues mid-schedule, bit-identical to an uninterrupted run with
     the same n_rounds.
+
+    explorer: "nuts" (default; per-replica dynamic trees, best mixing
+    per sweep) or "hmc" (jittered-trajectory HMC with
+    explorer_n_leapfrog max steps — compile-light; use on backends
+    where the NUTS tree program is slow to compile). The reference
+    uses Pigeons' gradient-free SliceSampler
+    (`OctofitterPigeonsExt.jl:70-72`); gradient-based explorers mix
+    faster per sweep on these posteriors.
     """
     if key is None:
         key = jax.random.PRNGKey(0)
@@ -160,16 +170,28 @@ def octofit_pigeons(
     direction[:, -1] = -1
     n_round_trips = 0
 
+    if explorer == "hmc":
+        from .hmc import hmc_step
+
+        def _transition(vg, th, lp, grad, key, e, metric):
+            return hmc_step(vg, th, lp, grad, key, e, metric,
+                            explorer_n_leapfrog)
+    else:
+
+        def _transition(vg, th, lp, grad, key, e, metric):
+            return nuts_step(vg, th, lp, grad, key, e, metric,
+                             explorer_max_depth)
+
     def explorer_step(theta, key, betas, eps, sigma_diag):
-        """One NUTS step per (walker, temp) on the annealed density."""
+        """One explorer transition per (walker, temp) on the annealed
+        density."""
 
         def one(theta_wn, key_wn, beta, e, sd):
             vg = vg_at_beta(beta)
             lp, grad = vg(theta_wn)
             metric = metric_from_sigma(sd)
-            th, lp2, _, stats = nuts_step(
-                vg, theta_wn, lp, grad, key_wn, e, metric,
-                explorer_max_depth,
+            th, lp2, _, stats = _transition(
+                vg, theta_wn, lp, grad, key_wn, e, metric
             )
             return th, stats.acceptance_rate
 
