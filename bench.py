@@ -35,18 +35,21 @@ BASELINE_ESS_PER_SEC = 200.0
 BASELINE_SOLVES_PER_SEC = 1.0 / 47e-9
 
 
-def build_model():
+def build_model(t0=55000.0, t1=59500.0, name="bench"):
     import octofitter_tpu as oc
     from octofitter_tpu import distributions as dist
     from octofitter_tpu.orbits import VisualOrbit, orbitsolve, raoff, decoff
 
-    # full orbital-phase coverage (P ~ 4400 d): the posterior is compact
-    # and unimodal, so the benchmark measures sampler throughput rather
-    # than pathological-geometry luck
+    # default epochs give full orbital-phase coverage (P ~ 4400 d): a
+    # compact unimodal posterior measuring sampler throughput. The
+    # partial-arc variant (t1-t0 << P) is the hard-geometry secondary
+    # case (continuous (a,e,tp) degeneracy ridge) reported WITHOUT a
+    # convergence gate — its rank-normalized diagnostics are part of
+    # the output.
     true = dict(a=7.0, e=0.2, i=0.6, omega=1.0, Omega=2.0, tp=57000.0, M=1.2, plx=50.0)
     n = 12
     rng = np.random.default_rng(0)
-    epochs = np.linspace(55000.0, 59500.0, n)
+    epochs = np.linspace(t0, t1, n)
     sol = orbitsolve(VisualOrbit.from_params(**true), jnp.asarray(epochs))
     astrom = oc.PlanetRelAstromObs(
         dict(
@@ -76,7 +79,7 @@ def build_model():
         observations=[astrom],
     )
     system = oc.System(
-        name="bench",
+        name=name,
         variables=dict(
             M=dist.truncated(dist.Normal(1.2, 0.1), lower=0.1),
             plx=dist.truncated(dist.Normal(50.0, 0.02), lower=0.1),
@@ -86,12 +89,11 @@ def build_model():
     return oc.LogDensityModel(system, verbosity=0)
 
 
-def bench_sampling():
+def _run_case(model, n_chains=4096, n_warmup=700, n_samples=500):
+    """Fit one dataset with ChEES; return (min rank-normalized ESS
+    across every parameter, max rank-normalized split R-hat, seconds)."""
     from octofitter_tpu.chains import ess_rhat
     from octofitter_tpu.samplers.chees import run_chees
-
-    model = build_model()
-    n_chains = 4096
     # full initialization pipeline (prior search -> multistart Adam ->
     # L-BFGS -> Laplace), the production octofit path
     model.initialize(jax.random.PRNGKey(0), verbosity=0)
@@ -108,23 +110,43 @@ def bench_sampling():
     t0 = time.perf_counter()
     samples, lls, stats, info = run_chees(
         vg, theta0, jax.random.PRNGKey(2),
-        n_warmup=700, n_samples=500,
+        n_warmup=n_warmup, n_samples=n_samples,
         metric="dense", initial_sigma=sigma0,
     )
     jax.block_until_ready(samples)
     dt = time.perf_counter() - t0
 
     # strict accounting: rank-normalized bulk ESS over ALL chains, min
-    # across every parameter; gate on rank-normalized split-R-hat
+    # across every parameter, with the max rank-normalized split-R-hat
     s = np.asarray(samples)
     ess_min, rhat_max = np.inf, 0.0
     for i in range(s.shape[-1]):
         ess_i, rhat_i = ess_rhat(s[:, :, i])
         ess_min = min(ess_min, ess_i)
         rhat_max = max(rhat_max, rhat_i)
-    if not np.isfinite(rhat_max) or rhat_max > 1.05:
-        raise RuntimeError(f"bench sampling did not converge (rhat={rhat_max})")
-    return ess_min / dt
+    return ess_min, rhat_max, dt
+
+
+def bench_sampling():
+    # headline: full-phase unimodal dataset, gated on convergence
+    model = build_model()
+    ess, rhat, dt = _run_case(model)
+    if not np.isfinite(rhat) or rhat > 1.05:
+        raise RuntimeError(f"bench sampling did not converge (rhat={rhat})")
+    out = {"ess_per_sec": ess / dt, "rhat_max": rhat}
+
+    # secondary: partial-arc hard-geometry dataset, reported with its
+    # diagnostics and NO convergence gate (honest accounting of the
+    # regime where single-temperature samplers stall; use
+    # octofit_pigeons in production for such posteriors)
+    try:
+        model_pa = build_model(56800.0, 57400.0, name="bench_partial_arc")
+        ess_pa, rhat_pa, dt_pa = _run_case(model_pa)
+        out["partial_arc_ess_per_sec"] = ess_pa / dt_pa
+        out["partial_arc_rhat_max"] = rhat_pa
+    except Exception:
+        pass
+    return out
 
 
 def bench_kepler():
@@ -169,17 +191,19 @@ def bench_kepler():
 
 def main():
     try:
-        ess_per_sec = bench_sampling()
-        print(
-            json.dumps(
-                {
-                    "metric": "ess_per_sec_per_chip_astrometry_fit",
-                    "value": ess_per_sec,
-                    "unit": "ESS/s",
-                    "vs_baseline": ess_per_sec / BASELINE_ESS_PER_SEC,
-                }
-            )
-        )
+        res = bench_sampling()
+        ess_per_sec = res["ess_per_sec"]
+        payload = {
+            "metric": "ess_per_sec_per_chip_astrometry_fit",
+            "value": ess_per_sec,
+            "unit": "ESS/s",
+            "vs_baseline": ess_per_sec / BASELINE_ESS_PER_SEC,
+            "rhat_max": res["rhat_max"],
+        }
+        for k in ("partial_arc_ess_per_sec", "partial_arc_rhat_max"):
+            if k in res:
+                payload[k] = res[k]
+        print(json.dumps(payload))
     except Exception:
         solves = bench_kepler()
         print(

@@ -100,24 +100,28 @@ class LogDensityModel:
             _flat_name(path, name) for path, name, _, _ in disc
         ]
 
+        self.discrete_mode = None
+        self._disc_combos = None
+        self._disc_logw = None
+        self._disc_domains = None
         if disc:
             domains = [np.asarray(e[2].domain(), float) for e in disc]
+            self._disc_domains = domains
             K = int(np.prod([len(d) for d in domains]))
             if K > 4096:
-                raise ValueError(
-                    f"discrete-domain product size {K} too large to "
-                    "marginalize; reduce the discrete domains"
-                )
-            grids = np.meshgrid(*domains, indexing="ij")
-            combos = np.stack([g.reshape(-1) for g in grids], axis=-1)
-            logw = np.zeros(len(combos))
-            for j, e in enumerate(disc):
-                logw += np.asarray(e[2].logpmf(jnp.asarray(combos[:, j])))
-            self._disc_combos = jnp.asarray(combos)
-            self._disc_logw = jnp.asarray(logw)
-        else:
-            self._disc_combos = None
-            self._disc_logw = None
+                # domain product too large to marginalize: Gibbs mode.
+                # ln_post is conditional on the discrete state; use
+                # octofit(sampler="gibbs") (Gibbs-within-HMC) to sample.
+                self.discrete_mode = "gibbs"
+            else:
+                self.discrete_mode = "marginalize"
+                grids = np.meshgrid(*domains, indexing="ij")
+                combos = np.stack([g.reshape(-1) for g in grids], axis=-1)
+                logw = np.zeros(len(combos))
+                for j, e in enumerate(disc):
+                    logw += np.asarray(e[2].logpmf(jnp.asarray(combos[:, j])))
+                self._disc_combos = jnp.asarray(combos)
+                self._disc_logw = jnp.asarray(logw)
 
         # ------------------------------------------------------------------
         # 2. Epoch gathering with per-obs start indices (`system.jl:35-54`):
@@ -155,14 +159,25 @@ class LogDensityModel:
         self.ln_prior_transformed = self._make_ln_prior_transformed()
         self.ln_like_nt = self._make_ln_like()
 
+        def ln_post_given_disc(theta_t, disc):
+            """Posterior conditional on explicit discrete values."""
+            theta_t = jnp.asarray(theta_t)
+            finite_in = jnp.all(jnp.isfinite(theta_t))
+            theta = self.invlink(theta_t)
+            lp = self.ln_prior_transformed(theta_t)
+            lp = lp + self.disc_logpmf(disc)
+            ll = self.ln_like_nt(self.arr2nt(theta, disc))
+            lpost = lp + ll
+            return jnp.where(finite_in & jnp.isfinite(lpost), lpost, -jnp.inf)
+
         def ln_post(theta_t):
             theta_t = jnp.asarray(theta_t)
             finite_in = jnp.all(jnp.isfinite(theta_t))
             theta = self.invlink(theta_t)
             lp = self.ln_prior_transformed(theta_t)
-            if self._disc_combos is None:
+            if self.discrete_mode is None:
                 ll = self.ln_like_nt(self.arr2nt(theta))
-            else:
+            elif self.discrete_mode == "marginalize":
                 # marginalize the discrete variables: logsumexp over the
                 # domain product, weighted by the discrete prior pmf
                 lls = jax.vmap(
@@ -170,10 +185,20 @@ class LogDensityModel:
                 )(self._disc_combos)
                 lls = jnp.where(jnp.isnan(lls), -jnp.inf, lls)
                 ll = jax.scipy.special.logsumexp(self._disc_logw + lls)
+            else:
+                # gibbs mode: ln_post is conditional on the default
+                # (first-domain-value) discrete state — used only by
+                # probes/initialization; sampling goes through
+                # ln_post_given_disc + Gibbs updates (samplers/gibbs.py)
+                disc0 = jnp.asarray([d[0] for d in self._disc_domains])
+                ll = self.ln_like_nt(self.arr2nt(theta, disc0)) + \
+                    self.disc_logpmf(disc0)
             lpost = lp + ll
             return jnp.where(
                 finite_in & jnp.isfinite(lpost), lpost, -jnp.inf
             )
+
+        self.ln_post_given_disc = ln_post_given_disc
 
         self._ln_post_py = ln_post
         self.ln_post = jax.jit(ln_post)
@@ -474,6 +499,52 @@ class LogDensityModel:
             ki += 1
         perm = np.argsort(np.concatenate(order))
         return jnp.concatenate(parts, axis=-1)[..., perm]
+
+    def disc_logpmf(self, disc):
+        """Sum of the discrete priors' log pmf at the given values."""
+        if not self._discrete_entries:
+            return jnp.asarray(0.0)
+        disc = jnp.asarray(disc)
+        lp = jnp.asarray(0.0)
+        for j, e in enumerate(self._discrete_entries):
+            lp = lp + e[2].logpmf(disc[..., j])
+        return lp
+
+    def sample_disc_priors(self, key, n: int | None = None):
+        """IID draws of the discrete variables from their priors;
+        shape (n_disc,) or (n, n_disc)."""
+        ks = jax.random.split(key, max(len(self._discrete_entries), 1))
+        parts = []
+        for j, e in enumerate(self._discrete_entries):
+            shape = () if n is None else (n,)
+            parts.append(e[2].sample(ks[j], shape))
+        return jnp.stack(parts, axis=-1)
+
+    def gibbs_update_disc(self, theta_t, disc, key):
+        """One systematic-scan Gibbs sweep over the discrete variables
+        given the continuous state: each variable is redrawn from its
+        full conditional (enumerating only ITS domain, so the cost is
+        the SUM of domain sizes, not the product — the large-domain
+        fallback the reference handles by going gradient-free,
+        `logdensitymodel.jl:38-41`)."""
+        theta = self.invlink(jnp.asarray(theta_t))
+        disc = jnp.asarray(disc)
+        keys = jax.random.split(key, len(self._discrete_entries))
+        for j, e in enumerate(self._discrete_entries):
+            dom = jnp.asarray(self._disc_domains[j])
+
+            def logit_at(v, disc=disc, j=j, e=e):
+                d2 = disc.at[j].set(v)
+                return (
+                    e[2].logpmf(v)
+                    + self.ln_like_nt(self.arr2nt(theta, d2))
+                )
+
+            logits = jax.vmap(logit_at)(dom)
+            logits = jnp.where(jnp.isnan(logits), -jnp.inf, logits)
+            i = jax.random.categorical(keys[j], logits)
+            disc = disc.at[j].set(dom[i])
+        return disc
 
     def discrete_conditional_logits(self, theta_t):
         """Unnormalized log P(discrete combo | theta_t): logpmf + loglike

@@ -34,7 +34,21 @@ def _repackage(model: LogDensityModel, samples_t, lps, stats, info, t_sampling,
     flat_t = samples_t.reshape(-1, D)
     has_disc = bool(getattr(model, "discrete_names", []))
 
-    if has_disc:
+    if has_disc and getattr(model, "discrete_mode", None) == "gibbs":
+        # Gibbs mode: the sampler already carried the discrete values
+        disc_flat = jnp.asarray(info["disc_samples"]).reshape(
+            flat_t.shape[0], -1
+        )
+
+        @jax.jit
+        def postprocess(flat_t, disc_flat):
+            nat = jax.vmap(model.invlink)(flat_t)
+            nts = jax.vmap(model.arr2nt)(nat, disc_flat)
+            lprior = jax.vmap(model.ln_prior_transformed)(flat_t)
+            return nts, lprior
+
+        nts, lprior = postprocess(flat_t, disc_flat)
+    elif has_disc:
         # recover the marginalized discrete variables per draw by
         # sampling their conditional given the continuous state
         keys = jax.random.split(jax.random.PRNGKey(0), flat_t.shape[0])
@@ -201,7 +215,27 @@ def octofit(
             initial_sigma = _initial_sigma_from_points(pts, metric)
 
     t0 = time.perf_counter()
-    if sampler == "chees":
+    if getattr(model, "discrete_mode", None) == "gibbs" and sampler != "gibbs":
+        sampler = "gibbs"
+        if verbosity >= 1:
+            print(
+                "octofit: large discrete domain detected -> "
+                "Gibbs-within-HMC sampler"
+            )
+    if sampler == "gibbs":
+        from .gibbs import run_gibbs
+
+        samples, lps, stats, info = run_gibbs(
+            model,
+            theta0,
+            k_run,
+            n_warmup=adaptation,
+            n_samples=iterations,
+            target_accept=target_accept,
+            metric=metric,
+            initial_sigma=initial_sigma,
+        )
+    elif sampler == "chees":
         from .chees import run_chees
 
         samples, lps, stats, info = run_chees(

@@ -112,3 +112,53 @@ def test_discrete_uniform_domain():
     lp = np.asarray(d.logpmf(jnp.asarray([0.0, 3.0, 4.0])))
     np.testing.assert_allclose(lp[:2], math.log(0.25))
     assert lp[2] == -np.inf
+
+
+def test_gibbs_within_hmc_large_domain():
+    """Domains whose product exceeds the marginalization cap switch to
+    Gibbs-within-HMC; the informative discrete variable is recovered and
+    an uninformative one stays ~uniform."""
+    datum = 7.3
+    sys = oc.System(
+        name="gibbs",
+        variables=dict(
+            k1=dist.DiscreteUniform(0, 19),
+            k2=dist.DiscreteUniform(0, 19),
+            k3=dist.DiscreteUniform(0, 19),
+            x=dist.Normal(0.0, 1.0),
+            ll=lambda s, _d=datum: -0.5 * ((_d - (s.k1 + 0.1 * s.x)) / 0.5) ** 2,
+        ),
+        companions=[],
+        observations=[DirectLL("ll")],
+    )
+    m = oc.LogDensityModel(sys, verbosity=0)
+    assert m.discrete_mode == "gibbs"
+    assert m.parameter_names == ["x"]
+    assert m.discrete_names == ["k1", "k2", "k3"]
+
+    # conditional log-post + gibbs update work standalone
+    disc = jnp.asarray([0.0, 3.0, 5.0])
+    theta_t = m.link(jnp.asarray([0.0]))
+    lp0 = float(m.ln_post_given_disc(theta_t, disc))
+    assert np.isfinite(lp0)
+    d2 = m.gibbs_update_disc(theta_t, disc, jax.random.PRNGKey(0))
+    assert np.asarray(d2).shape == (3,)
+
+    chain = oc.octofit(
+        m, chains=8, adaptation=200, iterations=300, verbosity=0,
+    )
+    assert chain.info["sampler"] == "gibbs_vectorized"
+    k1 = chain["k1"].reshape(-1)
+    k2 = chain["k2"].reshape(-1)
+    # analytic posterior over k1 (marginal over x): sigma_eff ~ 0.51,
+    # P(7) ~ 0.63, P(8) ~ 0.28 — the chain should match, not collapse
+    p7 = np.mean(k1 == 7.0)
+    p8 = np.mean(k1 == 8.0)
+    assert 0.5 < p7 < 0.8, p7
+    assert 0.15 < p8 < 0.45, p8
+    assert np.all(np.isin(np.unique(k1), [5.0, 6.0, 7.0, 8.0, 9.0, 10.0]))
+    # the uninformative one keeps exploring its domain
+    assert len(np.unique(k2)) > 10
+    assert 5.0 < k2.mean() < 14.0
+    # continuous conditional is sampled too
+    assert np.isfinite(chain["x"]).all()
