@@ -7,6 +7,7 @@ from .panels import (
     astromtimeplot,
     completenessplot,
     dotplot,
+    gaiastarplot,
     gaiatimeplot,
     hgcaplot,
     hipparcosplot,
@@ -28,6 +29,7 @@ __all__ = [
     "dotplot",
     "hgcaplot",
     "hipparcosplot",
+    "gaiastarplot",
     "gaiatimeplot",
     "skytrackplot",
     "absastromplot",

@@ -453,6 +453,74 @@ def absastromplot(model, chain, ax=None, n_draws=30):
     return ax
 
 
+def gaiastarplot(model, chain, ax=None, sample_idx=None):
+    """Sky-plane star reflex orbit with the Gaia along-scan measurements
+    drawn as scan-direction segments, for one posterior sample
+    (`gaiastarplot.jl`). Scan data constrain only the along-scan
+    coordinate, so each epoch is a line perpendicular to nothing —
+    a segment along the scan direction through the measured offset."""
+    from ..astrom.gaia_dr4 import GaiaDR4AstromObs
+
+    if ax is None:
+        _, ax = plt.subplots(figsize=(6, 6))
+    obs_list = [
+        o for o in model.system.observations if isinstance(o, GaiaDR4AstromObs)
+    ]
+    if not obs_list:
+        raise ValueError("model has no GaiaDR4AstromObs")
+    obs = obs_list[0]
+    t = obs.table
+
+    lp = chain.internals.get("logpost")
+    if sample_idx is None:
+        sample_idx = int(np.argmax(lp.reshape(-1))) if lp is not None else 0
+    names = model.parameter_names
+    row = np.asarray([chain[n].reshape(-1)[sample_idx] for n in names])
+    nt = model.arr2nt(jnp.asarray(row))
+    orbits = model.construct_orbits(nt)
+
+    # star reflex orbit over one period of each massive companion
+    for i, p in enumerate(model.system.planets):
+        m = (
+            float(nt.planets[p.name].mass) * MJUP2MSOL
+            if "mass" in nt.planets[p.name] else 0.0
+        )
+        if m == 0.0:
+            continue
+        P = float(period(orbits[i]))
+        ts = jnp.linspace(float(orbits[i].tp), float(orbits[i].tp) + P, 200)
+        sol = orbitsolve(orbits[i], ts)
+        ax.plot(np.asarray(raoff(sol, m)), np.asarray(decoff(sol, m)),
+                color="C0", lw=1.2, label=f"{p.name} reflex")
+
+    # along-scan measurements as scan-direction segments centered on the
+    # measured along-scan offset projected onto the sky
+    psi = np.asarray(t["scan_pos_angle"])
+    al = np.asarray(t["centroid_pos_al"])
+    err = np.asarray(t["centroid_pos_error_al"])
+    cpsi, spsi = np.cos(psi), np.sin(psi)
+    # along-scan unit vector (ra, dec) = (cos psi, sin psi) in our
+    # convention; the across-scan coordinate is unconstrained
+    x0 = al * cpsi
+    y0 = al * spsi
+    half = 3 * np.median(err) + 0.5 * np.abs(al).max()
+    for k in range(len(al)):
+        # the constraint line runs ACROSS scan through the AL offset
+        ax.plot(
+            [x0[k] - half * -spsi[k], x0[k] + half * -spsi[k]],
+            [y0[k] - half * cpsi[k], y0[k] + half * cpsi[k]],
+            color="0.7", lw=0.5, zorder=1,
+        )
+        ax.plot([x0[k]], [y0[k]], marker=".", ms=3, color="k", zorder=5)
+    ax.axhline(0, color="grey", ls="--", lw=0.6)
+    ax.axvline(0, color="grey", ls="--", lw=0.6)
+    ax.set_xlabel(r"$\Delta\alpha^*$ [mas]")
+    ax.set_ylabel(r"$\Delta\delta$ [mas]")
+    ax.invert_xaxis()
+    ax.set_aspect("equal")
+    return ax
+
+
 def completenessplot(cmap, ax=None, levels=(0.5, 0.9)):
     """Completeness map heat map + contours (`completenessplot.jl`).
 

@@ -200,6 +200,8 @@ def test_gaiatimeplot(tmp_path):
     chain = oc.octofit(model, chains=2, adaptation=150, iterations=80,
                        sampler="chees", verbosity=0)
     assert gaiatimeplot(model, chain, n_draws=4) is not None
+    from octofitter_tpu.plots import gaiastarplot
+    assert gaiastarplot(model, chain) is not None
 
 
 def test_completenessplot():
