@@ -8,6 +8,7 @@ adaptation and stepping-stone estimator end to end.
 import math
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 import octofitter_tpu as oc
@@ -92,3 +93,62 @@ def test_nested_sampling_conjugate():
     x = chain.flat("x")
     assert abs(x.mean() - 0.8) < 0.05
     assert abs(x.var() - 0.2) < 0.05
+
+
+def test_pt_partial_arc_ridge():
+    """Short-arc astrometry posteriors are continuous (a,e,tp)
+    degeneracy ridges where single-temperature samplers stall
+    (CLAUDE.md round-2 lessons); parallel tempering must traverse the
+    ridge: completed round trips, full ridge coverage, and better
+    mixing than the single-temperature rhat ~ 1.3-1.5 regime."""
+    from octofitter_tpu.chains import ess_rhat
+    from octofitter_tpu.orbits import VisualOrbit, orbitsolve, raoff, decoff
+
+    true = dict(a=7.0, e=0.2, i=0.6, omega=1.0, Omega=2.0, tp=57000.0,
+                M=1.2, plx=50.0)
+    n = 12
+    rng = np.random.default_rng(0)
+    epochs = np.linspace(56800.0, 57400.0, n)  # 600 d arc of a 4400 d orbit
+    sol = orbitsolve(VisualOrbit.from_params(**true), jnp.asarray(epochs))
+    astrom = oc.PlanetRelAstromObs(
+        dict(
+            epoch=epochs,
+            ra=np.asarray(raoff(sol)) + rng.standard_normal(n) * 2.0,
+            dec=np.asarray(decoff(sol)) + rng.standard_normal(n) * 2.0,
+            σ_ra=np.full(n, 2.0), σ_dec=np.full(n, 2.0),
+        ),
+        name="simdata",
+    )
+    b = oc.Planet(
+        name="b", basis="Visual{KepOrbit}",
+        variables=dict(
+            a=dist.Uniform(0.001, 100.0), e=dist.Uniform(0.0, 0.99),
+            i=dist.Sine(), omega=oc.UniformCircular(),
+            Omega=oc.UniformCircular(), theta=oc.UniformCircular(),
+            tp=lambda s, p: oc.theta_at_epoch_to_tperi(
+                p.theta, 57000.0, M=s.M, e=p.e, a=p.a, i=p.i,
+                omega=p.omega, Omega=p.Omega),
+        ),
+        observations=[astrom],
+    )
+    system = oc.System(
+        name="partialarc",
+        variables=dict(
+            M=dist.truncated(dist.Normal(1.2, 0.1), lower=0.1),
+            plx=dist.truncated(dist.Normal(50.0, 0.02), lower=0.1),
+        ),
+        companions=[b],
+    )
+    model = oc.LogDensityModel(system, verbosity=0)
+    chain, info = octofit_pigeons(
+        model, n_chains=8, n_walkers=12, n_rounds=8, verbosity=0,
+        key=jax.random.PRNGKey(0),
+    )
+    assert info["n_round_trips"] >= 1
+    a = chain["b_a"]
+    q5, q95 = np.quantile(a.reshape(-1), [0.05, 0.95])
+    # the ridge spans small tight orbits to wide slow ones
+    assert q5 < 12.0 and q95 > 25.0, (q5, q95)
+    _, rhat = ess_rhat(a)
+    assert rhat < 1.35
+    assert np.isfinite(info["logevidence"])
