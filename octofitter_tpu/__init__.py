@@ -77,6 +77,7 @@ from .orbits import AbsoluteVisualOrbit
 from . import interferometry
 from . import atmosphere
 from .config import OctofitterConfig, get_config, set_config
+from . import datadeps
 from . import utils
 from . import plots
 from .interferometry import InterferometryObs, InterferometryLikelihood

