@@ -174,6 +174,10 @@ def transit_system(lc_obs, r_var):
 # generate the observed light curve at the injected radius ratio
 from octofitter_tpu.model.generate import generate_from_params  # noqa: E402
 
+# one free parameter: a light initialization is plenty (the defaults
+# are sized for multimodal RV/astrometry posteriors)
+oc.set_config(init_multistart=64, init_opt_steps=300)
+
 gen_model = oc.LogDensityModel(
     transit_system(lc0, dist.Uniform(0.0, 0.3)), verbosity=0
 )
