@@ -242,49 +242,105 @@ def octoplot(
     return fig
 
 
-def rvpostplot(model, chain, ax=None, n_draws=50, planet_name=None):
-    """Phase-folded RV plot with residuals
+def rvpostplot(model, chain, axs=None, n_draws=50, planet_name=None,
+               sample_idx=None):
+    """Phase-folded RV plot with a residual panel and GP conditioning
     (`OctofitterRadialVelocity/ext/...MakieExt.jl` rvpostplot).
 
-    Folds the RV data on the posterior-median period of the chosen
-    planet and overlays posterior model draws.
+    The data are detrended with the MAP draw's non-Keplerian components
+    (per-instrument offset, trend function, and — when the observation
+    carries a celerite GP — the GP prediction conditioned on the MAP
+    residuals), folded on the MAP period of the chosen planet, and
+    overlaid with posterior Keplerian draws. The bottom panel shows the
+    residuals after also removing the MAP Keplerian signal.
     """
-    from ..rv.likelihoods import _BaseRVObs
+    from ..model.params import Params
+    from ..model.variables import SystemObservationContext
     from ..orbits import period as orbit_period
+    from ..rv.likelihoods import _BaseRVObs
 
-    if ax is None:
-        _, ax = plt.subplots(figsize=(7, 4))
+    if axs is None:
+        fig, axs = plt.subplots(
+            2, 1, figsize=(7, 5.5), sharex=True,
+            height_ratios=[3, 1], constrained_layout=True,
+        )
+    ax, ax_res = axs
     planet = (
         model.system.planets[0]
         if planet_name is None
         else next(p for p in model.system.planets if p.name == planet_name)
     )
-    orbits, masses = _sample_orbits(model, chain, planet.name, n_draws)
-    P_med = float(np.median([float(orbit_period(o)) for o in orbits]))
-    tp_med = float(np.median([float(o.tp) for o in orbits]))
+    i_planet = [p.name for p in model.system.planets].index(planet.name)
+
+    # ---- MAP draw: detrending components + fold ephemeris -------------
+    lp = chain.internals.get("logpost")
+    total = chain.n_chains * chain.n_draws
+    if sample_idx is None:
+        sample_idx = int(np.argmax(lp.reshape(-1))) if lp is not None else 0
+    names = model.parameter_names
+    row = np.asarray([chain[n].reshape(-1)[sample_idx] for n in names])
+    nt = model.arr2nt(jnp.asarray(row))
+    orbits_map = model.construct_orbits(nt)
+    epochs_all = jnp.asarray(model._all_epochs)
+    sols_map = tuple(orbitsolve(o, epochs_all) for o in orbits_map)
+    P_map = float(orbit_period(orbits_map[i_planet]))
+    tp_map = float(orbits_map[i_planet].tp)
+    m_map = (
+        float(nt.planets[planet.name].mass) * MJUP2MSOL
+        if "mass" in nt.planets[planet.name] else 0.0
+    )
 
     rv_obs = [
-        o for o in model.system.observations
-        if isinstance(o, _BaseRVObs)
+        o for o in model.system.observations if isinstance(o, _BaseRVObs)
     ]
-    # subtract per-instrument median offsets from the chain if present
-    for obs in rv_obs:
+    for k, obs in enumerate(rv_obs):
         t = obs.table
-        off_col = f"{obs.normalized_name}_offset"
-        offset = (
-            float(np.median(chain.flat(off_col))) if off_col in chain.data else 0.0
+        theta_obs = nt.observations.get(obs.normalized_name, Params())
+        ctx = SystemObservationContext(
+            theta_system=nt, theta_obs=theta_obs, orbits=orbits_map,
+            solutions=sols_map,
+            epoch_start=model._epoch_start.get(id(obs), 0),
         )
-        phase = np.mod((t["epoch"] - tp_med) / P_med, 1.0)
-        ax.errorbar(phase, t["rv"] - offset, yerr=t["σ_rv"], fmt="o", ms=3,
-                    zorder=5, label=obs.name)
+        rv_full = np.asarray(obs.simulate(ctx)["rv_model"])
+        epochs = jnp.asarray(t["epoch"])
+        # Keplerian part of the chosen planet at the data epochs
+        sol_p = orbitsolve(orbits_map[i_planet], epochs)
+        rv_kep = np.asarray(radvel(sol_p, m_map)) if m_map else 0.0
+        nonkep = rv_full - rv_kep
+        resid_map = np.asarray(t["rv"]) - rv_full
+        # GP conditioning on the MAP residuals (`rv-gp.md` workflow)
+        if getattr(obs, "gaussian_process", None) is not None:
+            from ..rv.kernels import gp_predict
 
-    ts = jnp.linspace(tp_med, tp_med + P_med, 300)
+            jitter = float(theta_obs.get("jitter", jnp.asarray(0.0)))
+            var = np.asarray(t["σ_rv"]) ** 2 + jitter**2
+            kernel = obs.gaussian_process(theta_obs)
+            gp_mean, _ = gp_predict(
+                kernel, epochs, jnp.asarray(resid_map), jnp.asarray(var),
+                epochs,
+            )
+            nonkep = nonkep + np.asarray(gp_mean)
+            resid_map = resid_map - np.asarray(gp_mean)
+
+        phase = np.mod((t["epoch"] - tp_map) / P_map, 1.0)
+        ax.errorbar(phase, t["rv"] - nonkep, yerr=t["σ_rv"], fmt="o", ms=3,
+                    zorder=5, label=obs.name, color=f"C{k + 1}")
+        ax_res.errorbar(phase, resid_map, yerr=t["σ_rv"], fmt="o", ms=3,
+                        zorder=5, color=f"C{k + 1}")
+
+    # ---- posterior Keplerian draws folded on the MAP ephemeris --------
+    orbits, masses = _sample_orbits(model, chain, planet.name, n_draws)
+    ts = jnp.linspace(tp_map, tp_map + P_map, 300)
     for orbit, m in zip(orbits, masses):
         sol = orbitsolve(orbit, ts)
         rv = np.asarray(radvel(sol, m)) if m else np.asarray(radvel(sol))
-        phase = np.mod((np.asarray(ts) - tp_med) / P_med, 1.0)
+        phase = np.mod((np.asarray(ts) - tp_map) / P_map, 1.0)
         order = np.argsort(phase)
         ax.plot(phase[order], rv[order], color="C0", alpha=0.08, lw=0.8)
-    ax.set_xlabel("orbital phase")
+    ax_res.axhline(0.0, color="0.6", lw=0.8)
     ax.set_ylabel("RV [m/s]")
-    return ax
+    ax_res.set_ylabel("residual [m/s]")
+    ax_res.set_xlabel("orbital phase")
+    if rv_obs:
+        ax.legend(fontsize=8)
+    return axs
