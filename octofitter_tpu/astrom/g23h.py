@@ -369,7 +369,11 @@ class G23HObs(AbstractObs):
         if missing:
             raise ValueError(f"G23H catalog row missing {missing}")
         self.catalog = {
-            k: (float(np.asarray(v)) if np.ndim(v) == 0 else v)
+            k: (
+                float(np.asarray(v))
+                if np.ndim(v) == 0 and not isinstance(v, (int, str))
+                else v
+            )
             for k, v in catalog.items()
         }
         self.gaia_like = gaia_like

@@ -40,10 +40,15 @@ def _load_table(path_or_table) -> dict:
 
 
 def _find_row(table: dict, gaia_id=None, hip_id=None) -> int:
-    if gaia_id is not None and "gaia_id" in table:
-        hits = np.nonzero(np.asarray(table["gaia_id"]) == gaia_id)[0]
-        if len(hits):
-            return int(hits[0])
+    # the production catalog names the DR3 key `gaia_source_id`
+    # (`g23h.jl:274` findfirst on catalog.gaia_source_id); accept the
+    # short alias used by in-memory fixtures too
+    if gaia_id is not None:
+        for key in ("gaia_source_id", "gaia_id"):
+            if key in table:
+                hits = np.nonzero(np.asarray(table[key]) == gaia_id)[0]
+                if len(hits):
+                    return int(hits[0])
     if hip_id is not None and "hip_id" in table:
         col = np.asarray(table["hip_id"])
         hits = np.nonzero(col == hip_id)[0]
@@ -52,6 +57,18 @@ def _find_row(table: dict, gaia_id=None, hip_id=None) -> int:
     raise KeyError(
         f"source gaia_id={gaia_id} hip_id={hip_id} not found in catalog"
     )
+
+
+def _derive_mjd_epochs(row: dict) -> None:
+    """Add `epoch_*_mjd` columns from the catalog's Julian-year epochs
+    (`g23h.jl:301-309`), which is the form `G23HObs` consumes."""
+    from ..constants import J2000_MJD, JULIAN_YEAR_DAYS
+
+    for axis in ("ra", "dec"):
+        for dr in ("dr2", "dr3"):
+            src, dst = f"epoch_{axis}_{dr}", f"epoch_{axis}_{dr}_mjd"
+            if dst not in row and src in row:
+                row[dst] = (row[src] - 2000.0) * JULIAN_YEAR_DAYS + J2000_MJD
 
 
 def load_g23h_catalog_row(
@@ -82,12 +99,19 @@ def load_g23h_catalog_row(
         if isinstance(v, (bytes, str)):
             row[k] = v.decode() if isinstance(v, bytes) else v
             continue
+        if np.issubdtype(np.asarray(v).dtype, np.integer):
+            # Gaia source IDs exceed float64's 2^53 integer range
+            row[k] = int(v)
+            continue
         fv = float(v)
         if np.isnan(fv):
             continue
         row[k] = fv
     if gaia_id is not None:
         row.setdefault("gaia_id", gaia_id)
+    if "gaia_source_id" in row:
+        row.setdefault("gaia_id", row["gaia_source_id"])
+    _derive_mjd_epochs(row)
 
     if dr2_transits_catalog is not None:
         sidecar = _load_table(dr2_transits_catalog)

@@ -23,6 +23,15 @@ from .kernels import (
     gp_loglike,
     gp_predict,
 )
+from .data_sources import (
+    HARPS_RVBank_rvs,
+    HARPS_DR1_rvs,
+    HIRES_rvs,
+    Lick_rvs,
+    CES_lc_rvs,
+    CES_vlc_rvs,
+    radvel_posterior,
+)
 
 __all__ = [
     "StarAbsoluteRVObs",
@@ -42,4 +51,11 @@ __all__ = [
     "ComplexTerm",
     "SHOTerm",
     "celerite_loglike",
+    "HARPS_RVBank_rvs",
+    "HARPS_DR1_rvs",
+    "HIRES_rvs",
+    "Lick_rvs",
+    "CES_lc_rvs",
+    "CES_vlc_rvs",
+    "radvel_posterior",
 ]

@@ -37,17 +37,56 @@ from .nuts import (
 )
 
 
-def _make_annealed_vg(model):
-    """value_and_grad of log pi_beta, plus loglike as aux."""
+def _gauss_logpdf(theta_t, q_mean, q_log_std):
+    z = (theta_t - q_mean) * jnp.exp(-q_log_std)
+    return (
+        -0.5 * jnp.sum(z * z)
+        - jnp.sum(q_log_std)
+        - 0.5 * theta_t.shape[-1] * jnp.log(2 * jnp.pi)
+    )
 
-    def annealed(theta_t, beta):
+
+def _make_annealed_vg(model):
+    """value_and_grad of the per-rung annealed density, plus loglike.
+
+    The rung density is a coefficient combination over the three
+    components (ln_prior_t, ln_like, log q):
+      fixed leg          (1, beta, 0)       prior ... target
+      variational leg    (beta, beta, 1-beta)   target ... N(q_mean, q_std)
+    which generalizes `log pi_beta = ln_prior + beta * ll` to the
+    stabilized-variational-PT extended ladder (Surjanovic et al. 2022;
+    the reference's GaussianReference leg, `OctofitterPigeonsExt.jl:83`).
+    """
+
+    def annealed(theta_t, coeffs, q_mean, q_log_std):
         lp_prior = model.ln_prior_transformed(theta_t)
         theta_nt = model.arr2nt(model.invlink(theta_t))
         ll = model.ln_like_nt(theta_nt)
         ll = jnp.where(jnp.isfinite(ll), ll, -jnp.inf)
-        return lp_prior + beta * ll, ll
+        lq = _gauss_logpdf(theta_t, q_mean, q_log_std)
+        # 0 * (-inf) would poison rungs whose coefficient is zero
+        t0 = jnp.where(coeffs[0] != 0, coeffs[0] * lp_prior, 0.0)
+        t1 = jnp.where(coeffs[1] != 0, coeffs[1] * ll, 0.0)
+        t2 = jnp.where(coeffs[2] != 0, coeffs[2] * lq, 0.0)
+        return t0 + t1 + t2, ll
 
     return jax.value_and_grad(annealed, has_aux=True)
+
+
+def _rung_coeffs(betas_fix, betas_var, q_active: bool):
+    """(N_tot, 3) density coefficients over (ln_prior, ll, log q)."""
+    bf = np.asarray(betas_fix)
+    c_fix = np.stack([np.ones_like(bf), bf, np.zeros_like(bf)], axis=-1)
+    bv = np.asarray(betas_var)
+    if bv.size == 0:
+        return c_fix
+    if q_active:
+        c_var = np.stack([bv, bv, 1.0 - bv], axis=-1)
+    else:
+        # before the first tuning round the variational leg anneals to
+        # the prior too (mirror of the fixed leg)
+        c_var = np.stack([np.ones_like(bv), bv, np.zeros_like(bv)], axis=-1)
+    return np.concatenate([c_fix, c_var], axis=0)
 
 
 def _pt_save_checkpoint(path, state: dict):
@@ -64,10 +103,14 @@ def _pt_save_checkpoint(path, state: dict):
             for d in da
         ]
     )
+    adam_arr = np.stack(
+        [np.asarray([a.m, a.v, a.t], float) for a in state["adam_states"]]
+    )
     np.savez(
         path,
         theta=np.asarray(state["theta"]),
         betas=np.asarray(state["betas"]),
+        betas_var=np.asarray(state["betas_var"]),
         eps=np.asarray(state["eps"]),
         sigma_diag=np.asarray(state["sigma_diag"]),
         labels=state["labels"],
@@ -76,11 +119,17 @@ def _pt_save_checkpoint(path, state: dict):
         sweep_counter=state["sweep_counter"],
         next_round=state["next_round"],
         da=da_arr,
+        log_T=np.asarray(state["log_T"]),
+        adam=adam_arr,
+        q_mean=np.asarray(state["q_mean"]),
+        q_log_std=np.asarray(state["q_log_std"]),
+        q_active=bool(state["q_active"]),
         key_data=np.asarray(jax.random.key_data(state["key"])),
     )
 
 
 def _pt_load_checkpoint(path):
+    from .chees import AdamState
     from .nuts import DualAveragingState
 
     z = np.load(path)
@@ -88,9 +137,26 @@ def _pt_load_checkpoint(path):
         DualAveragingState(*(jnp.asarray(row[i]) for i in range(5)))
         for row in z["da"]
     ]
+    n_temps = len(da_states)
+    if "adam" in z.files:
+        adam_states = [
+            AdamState(*(jnp.asarray(row[i]) for i in range(3)))
+            for row in z["adam"]
+        ]
+        log_T = np.asarray(z["log_T"])
+    else:  # pre-ChEES-explorer checkpoint
+        from .chees import _adam_init
+
+        adam_states = [_adam_init(jnp.float64) for _ in range(n_temps)]
+        log_T = np.full(n_temps, np.log(16.0 * 0.05))
+    n_dim = z["theta"].shape[-1]
     return dict(
         theta=jnp.asarray(z["theta"]),
         betas=jnp.asarray(z["betas"]),
+        betas_var=(
+            jnp.asarray(z["betas_var"]) if "betas_var" in z.files
+            else jnp.zeros((0,))
+        ),
         eps=jnp.asarray(z["eps"]),
         sigma_diag=jnp.asarray(z["sigma_diag"]),
         labels=z["labels"],
@@ -99,6 +165,17 @@ def _pt_load_checkpoint(path):
         sweep_counter=int(z["sweep_counter"]),
         next_round=int(z["next_round"]),
         da_states=da_states,
+        log_T=log_T,
+        adam_states=adam_states,
+        q_mean=(
+            jnp.asarray(z["q_mean"]) if "q_mean" in z.files
+            else jnp.zeros((n_dim,))
+        ),
+        q_log_std=(
+            jnp.asarray(z["q_log_std"]) if "q_log_std" in z.files
+            else jnp.zeros((n_dim,))
+        ),
+        q_active=bool(z["q_active"]) if "q_active" in z.files else False,
         key=jax.random.wrap_key_data(jnp.asarray(z["key_data"])),
     )
 
@@ -109,6 +186,8 @@ def octofit_pigeons(
     key=None,
     n_rounds: int = 10,
     n_chains: int = 16,
+    n_chains_variational: int = 0,
+    variational_first_tuning_round: int = 5,
     n_walkers: int = 32,
     explorer: str = "nuts",
     explorer_max_depth: int = 8,
@@ -125,118 +204,219 @@ def octofit_pigeons(
     length; `n_walkers` independent ladders run vectorized for
     throughput (TPU-native addition).
 
+    n_chains_variational > 0 adds the stabilized-variational-PT leg
+    (the reference's `GaussianReference(first_tuning_round=5)`,
+    `OctofitterPigeonsExt.jl:83`; Surjanovic et al. 2022): the extended
+    ladder is `prior <-> target | target <-> N(m, s)` where the
+    diagonal Gaussian reference is moment-matched to the target-rung
+    samples at the end of every round from
+    `variational_first_tuning_round` on. The two target rungs swap
+    deterministically (always accepted), so replicas round-trip
+    between BOTH references — on posteriors much tighter than their
+    prior this collapses the variational leg's barrier and multiplies
+    the round-trip rate. Samples are recorded from both target rungs.
+    Like the reference, prefer the fixed leg alone (the default) for
+    multimodal posteriors where a Gaussian fit is meaningless.
+
     checkpoint: path; after every non-final round the full PT state is
     saved there (npz). resume: path of such a checkpoint; the run
     continues mid-schedule, bit-identical to an uninterrupted run with
     the same n_rounds.
 
     explorer: "nuts" (default; per-replica dynamic trees, best mixing
-    per sweep) or "hmc" (jittered-trajectory HMC with
-    explorer_n_leapfrog max steps — compile-light; use on backends
-    where the NUTS tree program is slow to compile). The reference
-    uses Pigeons' gradient-free SliceSampler
+    per sweep), "chees" (per-temperature shared-trajectory ChEES-HMC:
+    the walker batch at each temperature shares one Halton-jittered
+    trajectory whose length is adapted per temperature by Adam ascent
+    on the ChEES criterion — compile-light single-leapfrog body, the
+    production choice on the axon TPU backend, and trajectory lengths
+    self-tune per rung where "nuts"/"hmc" use one global bound), or
+    "hmc" (jittered-trajectory HMC with explorer_n_leapfrog max
+    steps). The reference uses Pigeons' gradient-free SliceSampler
     (`OctofitterPigeonsExt.jl:70-72`); gradient-based explorers mix
     faster per sweep on these posteriors.
     """
     if key is None:
         key = jax.random.PRNGKey(0)
     D = model.D
-    W, N = n_walkers, n_chains
+    W, N, Nv = n_walkers, n_chains, n_chains_variational
+    NT = N + Nv  # total rungs in the (possibly extended) ladder
 
     annealed_vg = _make_annealed_vg(model)
 
-    def vg_at_beta(beta):
+    def vg_at_coeffs(coeffs, q_mean, q_log_std):
         def vg(theta):
-            (val, ll), grad = annealed_vg(theta, beta)
+            (val, ll), grad = annealed_vg(theta, coeffs, q_mean, q_log_std)
             return val, grad
 
         return vg
 
-    # --- initial states: prior draws (or starting points for target end)
+    # --- initial states: the model's starting points when initialized
+    # (reference behavior: Pigeons.initialization draws every chain from
+    # model.starting_points, `OctofitterPigeonsExt.jl:13-39`); prior
+    # draws otherwise. The beta=0 rung is IID-refreshed every sweep
+    # regardless.
     key, k0 = jax.random.split(key)
-    draws = model.sample_priors(k0, W * N)
-    theta = jax.vmap(model.link)(draws).reshape(W, N, D)
+    pts = getattr(model, "starting_points", None)
+    if pts is not None:
+        pts = jnp.asarray(pts)
+        idx0 = jax.random.choice(k0, pts.shape[0], (W * NT,), replace=True)
+        theta = pts[idx0].reshape(W, NT, D)
+    else:
+        draws = model.sample_priors(k0, W * NT)
+        theta = jax.vmap(model.link)(draws).reshape(W, NT, D)
 
-    betas = jnp.linspace(0.0, 1.0, N)
+    # per-leg annealing schedules (host side); rung order is
+    # [prior ... target | target ... variational reference]
+    betas_fix = np.linspace(0.0, 1.0, N)
+    betas_var = np.linspace(1.0, 0.0, Nv) if Nv else np.zeros((0,))
+    q_mean = jnp.zeros((D,))
+    q_log_std = jnp.zeros((D,))
+    q_active = False
 
-    # per-temperature explorer adaptation state (shared across walkers)
-    eps = jnp.full((N,), 0.05)
-    sigma_diag = jnp.ones((N, D))
+    # per-temperature explorer adaptation state (shared across walkers);
+    # the Laplace covariance from initialization seeds the explorer
+    # metric when available (adapted per rung between rounds)
+    eps = jnp.full((NT,), 0.05)
+    ls = getattr(model, "laplace_sigma", None)
+    if ls is not None:
+        sd0 = jnp.clip(
+            jnp.diag(jnp.asarray(ls)) if np.ndim(ls) == 2 else jnp.asarray(ls),
+            1e-6, None,
+        )
+        sigma_diag = jnp.tile(sd0[None, :], (NT, 1))
+    else:
+        sigma_diag = jnp.ones((NT, D))
 
     # index process bookkeeping (host-side, per walker)
-    labels = np.tile(np.arange(N), (W, 1))        # replica id at each temp slot
-    direction = np.zeros((W, N), int)             # +1 going up, -1 down
+    labels = np.tile(np.arange(NT), (W, 1))       # replica id at each temp slot
+    direction = np.zeros((W, NT), int)            # +1 going up, -1 down
     direction[:, 0] = 1
     direction[:, -1] = -1
     n_round_trips = 0
 
-    if explorer == "hmc":
-        from .hmc import hmc_step
+    if explorer == "chees":
+        from .chees import _chees_transition
 
-        def _transition(vg, th, lp, grad, key, e, metric):
-            return hmc_step(vg, th, lp, grad, key, e, metric,
-                            explorer_n_leapfrog)
-    else:
+        def explorer_step(theta, key, coeffs, qm, qls, eps, sigma_diag,
+                          log_T, u):
+            """One shared-trajectory ChEES transition per temperature:
+            the W walkers at each rung are the chain batch, sharing one
+            jittered trajectory t = u * T_n."""
 
-        def _transition(vg, th, lp, grad, key, e, metric):
-            return nuts_step(vg, th, lp, grad, key, e, metric,
-                             explorer_max_depth)
+            ThetaT = jnp.swapaxes(theta, 0, 1)  # (NT, W, D)
+            keys_n = jax.random.split(key, NT)
 
-    def explorer_step(theta, key, betas, eps, sigma_diag):
-        """One explorer transition per (walker, temp) on the annealed
-        density."""
+            def one_temp(Theta_w, key_n, c, e, lT, sd):
+                vg_batch = jax.vmap(vg_at_coeffs(c, qm, qls))
+                lp, grad = vg_batch(Theta_w)
+                metric = metric_from_sigma(sd)
+                Th, _, _, stats, g_logT = _chees_transition(
+                    vg_batch, Theta_w, lp, grad, key_n, e,
+                    jnp.exp(lT), u, metric, explorer_n_leapfrog,
+                )
+                return Th, stats.acceptance_rate, g_logT
 
-        def one(theta_wn, key_wn, beta, e, sd):
-            vg = vg_at_beta(beta)
-            lp, grad = vg(theta_wn)
-            metric = metric_from_sigma(sd)
-            th, lp2, _, stats = _transition(
-                vg, theta_wn, lp, grad, key_wn, e, metric
+            f = jax.vmap(one_temp, in_axes=(0, 0, 0, 0, 0, 0))
+            ThetaT2, acc, g_logT = f(
+                ThetaT, keys_n, coeffs, eps, log_T, sigma_diag
             )
-            return th, stats.acceptance_rate
+            return jnp.swapaxes(ThetaT2, 0, 1), jnp.swapaxes(acc, 0, 1), g_logT
+    else:
+        if explorer == "hmc":
+            from .hmc import hmc_step
 
-        # vmap over temps, then walkers
-        f = jax.vmap(one, in_axes=(0, 0, 0, 0, 0))        # temps
-        f = jax.vmap(f, in_axes=(0, 0, None, None, None))  # walkers
-        return f(theta, key, betas, eps, sigma_diag)
+            def _transition(vg, th, lp, grad, key, e, metric):
+                return hmc_step(vg, th, lp, grad, key, e, metric,
+                                explorer_n_leapfrog)
+        else:
 
-    def loglikes(theta):
+            def _transition(vg, th, lp, grad, key, e, metric):
+                return nuts_step(vg, th, lp, grad, key, e, metric,
+                                 explorer_max_depth)
+
+        def explorer_step(theta, key, coeffs, qm, qls, eps, sigma_diag,
+                          log_T, u):
+            """One explorer transition per (walker, temp) on the
+            annealed density."""
+            del log_T, u
+            keys = jax.random.split(key, (W, NT))
+
+            def one(theta_wn, key_wn, c, e, sd):
+                vg = vg_at_coeffs(c, qm, qls)
+                lp, grad = vg(theta_wn)
+                metric = metric_from_sigma(sd)
+                th, lp2, _, stats = _transition(
+                    vg, theta_wn, lp, grad, key_wn, e, metric
+                )
+                return th, stats.acceptance_rate
+
+            # vmap over temps, then walkers
+            f = jax.vmap(one, in_axes=(0, 0, 0, 0, 0))        # temps
+            f = jax.vmap(f, in_axes=(0, 0, None, None, None))  # walkers
+            th, acc = f(theta, keys, coeffs, eps, sigma_diag)
+            return th, acc, jnp.zeros((NT,), theta.dtype)
+
+    def components(theta, qm, qls):
+        """Per-(walker, rung) density components (ln_prior, ll, log q)."""
         flat = theta.reshape(-1, D)
+        lp = jax.vmap(model.ln_prior_transformed)(flat)
         nts = jax.vmap(lambda t: model.arr2nt(model.invlink(t)))(flat)
         ll = jax.vmap(model.ln_like_nt)(nts)
         ll = jnp.where(jnp.isnan(ll), -jnp.inf, ll)
-        return ll.reshape(theta.shape[0], theta.shape[1])
+        lq = jax.vmap(lambda t: _gauss_logpdf(t, qm, qls))(flat)
+        shp = (theta.shape[0], theta.shape[1])
+        return jnp.stack(
+            [lp.reshape(shp), ll.reshape(shp), lq.reshape(shp)], axis=-1
+        )  # (W, NT, 3)
 
     @jax.jit
-    def sweep(theta, key, betas, eps, sigma_diag, even_sweep):
-        """Explore + IID-refresh beta=0 + one DEO swap pass.
+    def sweep(theta, key, coeffs, qm, qls, eps, sigma_diag, log_T, u,
+              even_sweep, use_q_ref):
+        """Explore + IID-refresh the reference rung(s) + one DEO pass.
 
-        Returns new theta, per-temp mean acceptance, loglikes, and the
-        per-pair swap-accept mask (W, N-1).
+        Returns new theta, per-temp mean acceptance, loglikes, the
+        per-pair swap-accept mask (W, NT-1), and the per-temp ChEES
+        trajectory-length gradient (zeros for non-chees explorers).
         """
-        k_exp, k_ref, k_swap = jax.random.split(key, 3)
-        keys = jax.random.split(k_exp, (W, N))
-        theta, accept = explorer_step(theta, keys, betas, eps, sigma_diag)
+        k_exp, k_ref, k_refq, k_swap = jax.random.split(key, 4)
+        theta, accept, g_logT = explorer_step(
+            theta, k_exp, coeffs, qm, qls, eps, sigma_diag, log_T, u
+        )
 
-        # regenerate the reference chain (beta=0) IID from the prior
+        # regenerate the reference chains IID: rung 0 from the prior,
+        # the far end from the Gaussian reference once it is active
         prior_draws = model.sample_priors(k_ref, W)
         theta = theta.at[:, 0, :].set(jax.vmap(model.link)(prior_draws))
+        if Nv:
+            q_draws = qm[None, :] + jnp.exp(qls)[None, :] * jax.random.normal(
+                k_refq, (W, D), theta.dtype
+            )
+            prior_draws2 = model.sample_priors(k_refq, W)
+            far = jnp.where(
+                use_q_ref, q_draws, jax.vmap(model.link)(prior_draws2)
+            )
+            theta = theta.at[:, NT - 1, :].set(far)
 
-        ll = loglikes(theta)
+        F = components(theta, qm, qls)  # (W, NT, 3)
+        ll = F[:, :, 1]
 
-        # deterministic even/odd swap pass
+        # deterministic even/odd swap pass over the extended ladder;
+        # log alpha = (c_{i+1} - c_i) . (F_i - F_{i+1})  — the
+        # target|target boundary pair has dc = 0 so it always accepts
         i0 = jnp.where(even_sweep, 0, 1)
-        pair_start = jnp.arange(N - 1)
+        pair_start = jnp.arange(NT - 1)
         active = (pair_start % 2) == (i0 % 2)
-        dbeta = betas[1:] - betas[:-1]
-        log_alpha = dbeta * (ll[:, :-1] - ll[:, 1:])  # (W, N-1)
-        u = jax.random.uniform(k_swap, (W, N - 1))
-        accept_swap = active[None, :] & (jnp.log(u) < log_alpha)
+        dc = coeffs[1:] - coeffs[:-1]                  # (NT-1, 3)
+        dF = F[:, :-1, :] - F[:, 1:, :]                # (W, NT-1, 3)
+        terms = jnp.where(dc[None] != 0, dc[None] * dF, 0.0)
+        log_alpha = terms.sum(-1)                      # (W, NT-1)
+        u_sw = jax.random.uniform(k_swap, (W, NT - 1))
+        accept_swap = active[None, :] & (jnp.log(u_sw) < log_alpha)
 
         # build a permutation per walker: swap i <-> i+1 where accepted.
         # active pairs never overlap, so position j pulls from j+1 when
         # pair j accepted, from j-1 when pair j-1 accepted, else j.
-        base = jnp.arange(N)[None, :]
+        base = jnp.arange(NT)[None, :]
         pad_f = jnp.zeros((W, 1), bool)
         swap_right = jnp.concatenate([accept_swap, pad_f], axis=1)  # pair j
         swap_left = jnp.concatenate([pad_f, accept_swap], axis=1)   # pair j-1
@@ -244,28 +424,37 @@ def octofit_pigeons(
 
         theta = jnp.take_along_axis(theta, idx[:, :, None], axis=1)
         ll = jnp.take_along_axis(ll, idx, axis=1)
-        return theta, accept, ll, accept_swap, idx
+        return theta, accept, ll, accept_swap, idx, g_logT
 
     # ------------------------------------------------------------------
     t_start = time.perf_counter()
+    from .chees import _adam_init, _adam_step, halton_sequence
+
     da_states = [da_init(e) for e in np.asarray(eps)]
+    adam_states = [_adam_init(theta.dtype) for _ in range(NT)]
+    log_T = np.full(NT, float(np.log(16.0 * np.asarray(eps)[0])))
+    adam_lr = 0.025
+    # Halton jitter for the shared trajectory, indexed by the global
+    # sweep counter so a resumed run is bit-identical
+    halton = halton_sequence(2 ** (n_rounds + 1))
     samples_final = []
     ll_by_temp_final = []
-    rejection = np.zeros(N - 1)
-    total_swaps = np.zeros(N - 1)
+    rejection = np.zeros(NT - 1)
     barrier = None
+    barrier_var = None
     sweep_counter = 0
     start_round = 0
 
     if resume is not None:
         st = _pt_load_checkpoint(resume)
-        if st["theta"].shape != (W, N, D):
+        if st["theta"].shape != (W, NT, D):
             raise ValueError(
                 f"checkpoint shape {st['theta'].shape} does not match "
-                f"(n_walkers={W}, n_chains={N}, D={D})"
+                f"(n_walkers={W}, n_rungs={NT}, D={D})"
             )
         theta = st["theta"]
-        betas = st["betas"]
+        betas_fix = np.asarray(st["betas"])
+        betas_var = np.asarray(st["betas_var"])
         eps = st["eps"]
         sigma_diag = st["sigma_diag"]
         labels = st["labels"]
@@ -273,6 +462,11 @@ def octofit_pigeons(
         n_round_trips = st["n_round_trips"]
         sweep_counter = st["sweep_counter"]
         da_states = st["da_states"]
+        log_T = st["log_T"]
+        adam_states = st["adam_states"]
+        q_mean = st["q_mean"]
+        q_log_std = st["q_log_std"]
+        q_active = st["q_active"]
         key = st["key"]
         start_round = st["next_round"]
         if verbosity >= 1:
@@ -280,20 +474,24 @@ def octofit_pigeons(
 
     for rnd in range(start_round, n_rounds):
         n_sweeps = 2 ** (rnd + 1)
-        rej_round = np.zeros(N - 1)
-        att_round = np.zeros(N - 1)
+        rej_round = np.zeros(NT - 1)
+        att_round = np.zeros(NT - 1)
         # per-temp moment accumulators over (sweeps x walkers) for the
         # explorer's diagonal metric
-        s1 = np.zeros((N, D))
-        s2 = np.zeros((N, D))
+        s1 = np.zeros((NT, D))
+        s2 = np.zeros((NT, D))
         s_count = 0
         record = rnd == n_rounds - 1
+        coeffs = jnp.asarray(_rung_coeffs(betas_fix, betas_var, q_active))
 
         for s in range(n_sweeps):
             key, k_sweep = jax.random.split(key)
             even = (sweep_counter % 2) == 0
-            theta, accept, ll, accept_swap, idx = sweep(
-                theta, k_sweep, betas, eps, sigma_diag, even
+            u = jnp.asarray(halton[sweep_counter % len(halton)], theta.dtype)
+            theta, accept, ll, accept_swap, idx, g_logT = sweep(
+                theta, k_sweep, coeffs, q_mean, q_log_std, eps, sigma_diag,
+                jnp.asarray(log_T, theta.dtype), u, even,
+                jnp.asarray(q_active),
             )
             sweep_counter += 1
 
@@ -302,20 +500,30 @@ def octofit_pigeons(
             acc_np = np.asarray(accept.mean(axis=0))
             if not record:
                 new_eps = []
-                for i in range(N):
+                g_np = np.asarray(g_logT)
+                for i in range(NT):
                     da_states[i] = da_update(
                         da_states[i], jnp.asarray(acc_np[i]), target_accept
                     )
                     new_eps.append(np.exp(float(da_states[i].log_eps)))
+                    if explorer == "chees":
+                        adam_states[i], dlt = _adam_step(
+                            adam_states[i], jnp.asarray(g_np[i]), adam_lr
+                        )
+                        le = float(da_states[i].log_eps)
+                        log_T[i] = np.clip(
+                            log_T[i] + float(dlt),
+                            le, le + np.log(float(explorer_n_leapfrog)),
+                        )
                 eps = jnp.asarray(new_eps)
-                th_np = np.asarray(theta)  # (W, N, D)
+                th_np = np.asarray(theta)  # (W, NT, D)
                 s1 += np.swapaxes(th_np, 0, 1).sum(axis=1)
                 s2 += np.swapaxes(th_np**2, 0, 1).sum(axis=1)
                 s_count += W
 
             # swap statistics
             asw = np.asarray(accept_swap)
-            active = np.zeros(N - 1, bool)
+            active = np.zeros(NT - 1, bool)
             active[(0 if even else 1)::2] = True
             att_round[active] += 1
             rej_round[active] += 1 - asw[:, active].mean(axis=0)
@@ -334,7 +542,17 @@ def octofit_pigeons(
                     n_round_trips += 1
 
             if record:
-                samples_final.append(np.asarray(theta[:, -1, :]))
+                # target rung(s): fixed-leg target at N-1, plus the
+                # variational leg's target at N when present
+                if Nv:
+                    samples_final.append(
+                        np.concatenate(
+                            [np.asarray(theta[:, N - 1, :]),
+                             np.asarray(theta[:, N, :])], axis=0
+                        )
+                    )
+                else:
+                    samples_final.append(np.asarray(theta[:, N - 1, :]))
                 ll_by_temp_final.append(np.asarray(ll))
 
         # ---- between rounds: adapt schedule + explorer metric --------
@@ -342,14 +560,29 @@ def octofit_pigeons(
             r = np.where(att_round > 0, rej_round / np.maximum(att_round, 1), 0.0)
         r = np.clip(r, 1e-4, 1 - 1e-4)
         rejection = r
-        lam = np.concatenate([[0.0], np.cumsum(r)])
+        # per-leg communication barriers (the boundary pair N-1 is the
+        # deterministic target|target swap and belongs to neither leg)
+        r_fix = r[: N - 1]
+        lam = np.concatenate([[0.0], np.cumsum(r_fix)])
         barrier = lam[-1]
+        if Nv:
+            r_var = r[N:]
+            lam_v = np.concatenate([[0.0], np.cumsum(r_var)])
+            barrier_var = lam_v[-1]
         if not record:
-            # Syed et al. schedule update: equalize rejection across pairs
+            # Syed et al. schedule update per leg: equalize rejection
             targets = np.linspace(0, lam[-1], N)
-            new_betas = np.interp(targets, lam, np.asarray(betas))
-            new_betas[0], new_betas[-1] = 0.0, 1.0
-            betas = jnp.asarray(np.sort(new_betas))
+            new_b = np.interp(targets, lam, betas_fix)
+            new_b[0], new_b[-1] = 0.0, 1.0
+            betas_fix = np.sort(new_b)
+            if Nv:
+                # var leg runs beta 1 -> 0; adapt in ascending coords
+                asc = betas_var[::-1]  # 0 -> 1 toward the target
+                lam_asc = np.concatenate([[0.0], np.cumsum(r_var[::-1])])
+                targets_v = np.linspace(0, lam_asc[-1], Nv)
+                new_v = np.interp(targets_v, lam_asc, asc)
+                new_v[0], new_v[-1] = 0.0, 1.0
+                betas_var = np.sort(new_v)[::-1].copy()
             # metric per temperature from (sweeps x walkers) spread
             if s_count > 4:
                 mean = s1 / s_count
@@ -357,32 +590,48 @@ def octofit_pigeons(
                 var = np.clip(var, 1e-6, None)
                 shrink = s_count / (s_count + 5.0)
                 sigma_diag = jnp.asarray(shrink * var + 1e-3 * (1 - shrink))
+            # moment-match the Gaussian reference to the target rung(s)
+            # (GaussianReference first_tuning_round semantics)
+            if Nv and rnd + 1 >= variational_first_tuning_round and s_count > 4:
+                rows = [N - 1, N]
+                m = (s1[rows].sum(0)) / (len(rows) * s_count)
+                v = (s2[rows].sum(0)) / (len(rows) * s_count) - m**2
+                v = np.clip(v, 1e-8, None)
+                q_mean = jnp.asarray(m)
+                q_log_std = jnp.asarray(0.5 * np.log(v))
+                q_active = True
 
         if verbosity >= 2:
+            extra = f", var barrier {barrier_var:.2f}" if Nv and barrier_var is not None else ""
             print(
                 f"PT round {rnd + 1}/{n_rounds}: {n_sweeps} sweeps, "
-                f"barrier {barrier:.2f}, round trips {n_round_trips}"
+                f"barrier {barrier:.2f}{extra}, round trips {n_round_trips}"
             )
 
         if checkpoint is not None and not record:
             _pt_save_checkpoint(
                 checkpoint,
                 dict(
-                    theta=theta, betas=betas, eps=eps,
+                    theta=theta, betas=betas_fix, betas_var=betas_var,
+                    eps=eps,
                     sigma_diag=sigma_diag, labels=labels,
                     direction=direction, n_round_trips=n_round_trips,
                     sweep_counter=sweep_counter, next_round=rnd + 1,
-                    da_states=da_states, key=key,
+                    da_states=da_states, log_T=log_T,
+                    adam_states=adam_states, q_mean=q_mean,
+                    q_log_std=q_log_std, q_active=q_active, key=key,
                 ),
             )
 
     t_total = time.perf_counter() - t_start
 
     # ------------------------------------------------------------------
-    # stepping-stone log evidence from final-round loglikes
+    # stepping-stone log evidence from final-round loglikes on the
+    # FIXED (prior-referenced) leg — the variational leg's reference is
+    # not normalized against the prior
     # (`OctofitterPigeonsExt.jl:229-241` logevidence)
-    lls = np.stack(ll_by_temp_final)          # (S, W, N)
-    betas_np = np.asarray(betas)
+    lls = np.stack(ll_by_temp_final)          # (S, W, NT)
+    betas_np = np.asarray(betas_fix)
     dbeta = betas_np[1:] - betas_np[:-1]
     log_z = 0.0
     for i in range(N - 1):
@@ -420,6 +669,8 @@ def octofit_pigeons(
     }
     info = {
         "sampler": "pt_deo",
+        "explorer": explorer,
+        "trajectory_length": np.exp(log_T),
         "model_name": model.system.name,
         "logevidence": float(log_z),
         "global_barrier": float(barrier),
@@ -428,6 +679,13 @@ def octofit_pigeons(
         "swap_rejection": rejection,
         "sampling_time_s": t_total,
     }
+    if Nv:
+        info["betas_variational"] = np.asarray(betas_var)
+        info["global_barrier_variational"] = (
+            float(barrier_var) if barrier_var is not None else np.nan
+        )
+        info["variational_mean"] = np.asarray(q_mean)
+        info["variational_std"] = np.exp(np.asarray(q_log_std))
     if verbosity >= 1:
         print(
             f"octofit_pigeons: {n_rounds} rounds, barrier {barrier:.2f}, "

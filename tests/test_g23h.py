@@ -481,3 +481,90 @@ def test_g23h_catalog_feather_ingestion(tmp_path):
     import pytest as _pytest
     with _pytest.raises(KeyError):
         load_g23h_catalog_row(cat_path, gaia_id=999)
+
+
+REAL_G23H_FIXTURE = "/root/reference/test/G23H-test-subset.feather"
+
+
+@pytest.mark.skipif(
+    not os.path.exists(REAL_G23H_FIXTURE),
+    reason="reference G23H catalog subset not available",
+)
+def test_g23h_real_catalog_ingestion(tmp_path):
+    """Ingest a row of the REAL G23H catalog (the reference's
+    `test/G23H-test-subset.feather` fixture, read at runtime) and build
+    a working G23HObs from it — validates the production column schema
+    (`gaia_source_id` key, Julian-year epochs, MSMS sidecar columns)
+    against our loader, not just synthetic fixtures."""
+    from octofitter_tpu.astrom import load_g23h_catalog_row
+    from octofitter_tpu.astrom.scanlaw import (
+        GAIA_AGIS_SPAN_DR2,
+        GAIA_AGIS_SPAN_DR3,
+    )
+
+    row = load_g23h_catalog_row(REAL_G23H_FIXTURE, hip_id=384)
+    # the same row resolves by Gaia DR3 source id (g23h.jl:274)
+    row2 = load_g23h_catalog_row(
+        REAL_G23H_FIXTURE, gaia_id=row["gaia_source_id"]
+    )
+    assert row2["pmra_dr3"] == row["pmra_dr3"]
+    # 19-digit source ids survive ingestion exactly (beyond float64)
+    assert isinstance(row["gaia_source_id"], int)
+    assert row["gaia_source_id"] == 2738776816458107136
+
+    # Julian-year epochs converted to MJD inside each AGIS span
+    for dr, span in (("dr2", GAIA_AGIS_SPAN_DR2), ("dr3", GAIA_AGIS_SPAN_DR3)):
+        for axis in ("ra", "dec"):
+            mjd = row[f"epoch_{axis}_{dr}_mjd"]
+            assert span["start_mjd"] < mjd < span["stop_mjd"], (dr, axis, mjd)
+
+    # every channel's required fields are present and sane
+    for k in (
+        "pmra_hip", "pmra_hg", "pmra_dr2", "pmra_dr32", "pmra_dr3",
+        "ruwe_dr3", "sig_AL", "sig_att_radec", "sig_cal",
+        "rho_dr2_dr3", "radial_velocity_error",
+    ):
+        assert k in row, k
+    for k in row:
+        if k.endswith("_error"):
+            assert row[k] > 0, (k, row[k])
+
+    # the real row constructs a full G23HObs (all channels active:
+    # hip + hg + dr2 + dr32 + dr3 + ueva) with finite posterior+gradient
+    iad = write_synth_iad(os.path.join(tmp_path, "real_cat.d"), res_sigma=1.5)
+    hip = HipparcosIADObs(iad_file=iad)
+    gaia_sol = dict(
+        ra=row["ra"], dec=row["dec"], parallax=row["parallax"],
+        pmra=row["pmra_dr3"], pmdec=row["pmdec_dr3"],
+        ra_error=row["ra_error"], dec_error=row["dec_error"],
+        parallax_error=row["parallax_error"],
+        pmra_error=row["pmra_dr3_error"], pmdec_error=row["pmdec_dr3_error"],
+    )
+    gaia = GaiaCatalogFitObs(gaia_sol=gaia_sol, scanlaw=synth_gost_dr23(tmp_path))
+    g23h = G23HObs(catalog=row, gaia_like=gaia, hip_like=hip, freeze_epochs=True)
+    assert g23h.has_hip and g23h.include_rv
+    assert "ueva_dr3" in g23h.kinds
+
+    b = oc.Planet(
+        name="b", basis="Visual{KepOrbit}",
+        variables=dict(a=6.0, e=0.1, i=0.6, omega=1.0, Omega=2.0,
+                       tp=50000.0, mass=dist.Uniform(0.0, 100.0)),
+    )
+    system = oc.System(
+        name="g23hreal",
+        variables=dict(
+            M=1.1,
+            plx=dist.truncated(
+                dist.Normal(row["parallax"], 10 * row["parallax_error"]),
+                lower=0.1,
+            ),
+            pmra=dist.Normal(row["pmra_dr3"], 10.0),
+            pmdec=dist.Normal(row["pmdec_dr3"], 10.0),
+        ),
+        companions=[b], observations=[g23h],
+    )
+    m = LogDensityModel(system, verbosity=0)
+    theta_t = m.link(m.sample_priors(jax.random.PRNGKey(0)))
+    lp, grad = jax.value_and_grad(m._ln_post_py)(theta_t)
+    assert np.isfinite(float(lp))
+    assert np.all(np.isfinite(np.asarray(grad)))

@@ -152,3 +152,60 @@ def test_pt_partial_arc_ridge():
     _, rhat = ess_rhat(a)
     assert rhat < 1.35
     assert np.isfinite(info["logevidence"])
+
+
+def test_pt_chees_explorer_conjugate():
+    """Per-temperature shared-trajectory ChEES explorer: correct
+    posterior + evidence on the conjugate model (the compile-light
+    axon-backend explorer option)."""
+    model = conjugate_model()
+    chain, info = octofit_pigeons(
+        model,
+        key=jax.random.PRNGKey(0),
+        n_rounds=8,
+        n_chains=8,
+        n_walkers=32,
+        explorer="chees",
+        verbosity=0,
+    )
+    x = chain.flat("x")
+    assert abs(x.mean() - 0.8) < 0.05
+    assert abs(x.var() - 0.2) < 0.05
+    logz_true = float(
+        -0.5 * (1.0 / 1.25) - 0.5 * math.log(2 * math.pi * 1.25)
+    )
+    assert abs(info["logevidence"] - logz_true) < 0.25
+    assert info["n_round_trips"] > 10
+    # per-rung trajectory lengths were adapted (positive, distinct)
+    T = info["trajectory_length"]
+    assert np.all(T > 0)
+
+
+def test_pt_variational_leg():
+    """Stabilized variational PT (GaussianReference equivalent,
+    `OctofitterPigeonsExt.jl:83`): extended ladder with a moment-matched
+    Gaussian reference; the variational leg's communication barrier
+    collapses once tuned, and posterior + evidence stay correct."""
+    model = conjugate_model()
+    chain, info = octofit_pigeons(
+        model,
+        key=jax.random.PRNGKey(0),
+        n_rounds=8,
+        n_chains=8,
+        n_chains_variational=8,
+        n_walkers=16,
+        verbosity=0,
+    )
+    x = chain.flat("x")
+    assert abs(x.mean() - 0.8) < 0.06
+    assert abs(x.var() - 0.2) < 0.05
+    logz_true = float(
+        -0.5 * (1.0 / 1.25) - 0.5 * math.log(2 * math.pi * 1.25)
+    )
+    assert abs(info["logevidence"] - logz_true) < 0.25
+    # the tuned Gaussian reference matches the posterior moments
+    assert abs(info["variational_mean"][0] - 0.8) < 0.1
+    assert abs(info["variational_std"][0] - math.sqrt(0.2)) < 0.1
+    # and its leg's barrier is far below the prior leg's
+    assert info["global_barrier_variational"] < 0.2
+    assert info["global_barrier_variational"] < info["global_barrier"]
