@@ -1,6 +1,7 @@
 """Multi-device tests on the forced 8-device CPU mesh
 (SURVEY.md section 4: fake-mesh test for the PT swap collective)."""
 
+import os
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -213,3 +214,45 @@ def test_distributed_config_resolution():
     assert mesh.devices.size == len(jax.devices())
     mesh2 = global_mesh(("dcn", "chains"), axis_sizes=(2, len(jax.devices()) // 2))
     assert mesh2.axis_names == ("dcn", "chains")
+
+
+def test_multihost_dcn_two_processes():
+    """REAL multi-process runtime: two OS processes join via
+    `jax.distributed` (the DCN path; Gloo collectives on CPU), build
+    the global mesh through `parallel.global_mesh`, and an
+    epoch-sharded psum crosses the process boundary. This is the test
+    the reference never had for its MPI path (SURVEY §4)."""
+    import socket
+    import subprocess
+    import sys
+
+    # free port for the coordinator
+    s = socket.socket()
+    s.bind(("localhost", 0))
+    port = s.getsockname()[1]
+    s.close()
+
+    child = os.path.join(os.path.dirname(__file__), "_dcn_child.py")
+    procs = []
+    for pid in range(2):
+        env = dict(os.environ)
+        env.update(
+            OCTOFITTER_COORDINATOR=f"localhost:{port}",
+            OCTOFITTER_NUM_PROCESSES="2",
+            OCTOFITTER_PROCESS_ID=str(pid),
+            XLA_FLAGS="--xla_force_host_platform_device_count=2",
+        )
+        procs.append(
+            subprocess.Popen(
+                [sys.executable, child], env=env,
+                stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            )
+        )
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=240)
+        outs.append(out)
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, out[-2000:]
+    assert any("proc0" in o and "OK" in o for o in outs), outs
+    assert any("proc1" in o and "OK" in o for o in outs), outs
