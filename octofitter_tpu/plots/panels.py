@@ -36,6 +36,27 @@ from ..orbits import (  # noqa: E402
 from .octoplot import _sample_orbits  # noqa: E402
 
 
+def _savable(fn):
+    """Add a uniform `fname=` kwarg to a panel function: save the
+    panel's figure (at 150 dpi) after drawing."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapper(*args, fname=None, **kwargs):
+        out = fn(*args, **kwargs)
+        if fname is not None:
+            ax = out
+            while isinstance(ax, (list, tuple, np.ndarray)):
+                ax = ax[0] if len(ax) else None
+            fig = ax.get_figure() if ax is not None else plt.gcf()
+            fig.savefig(fname, dpi=150, bbox_inches="tight")
+        return out
+
+    if wrapper.__doc__:
+        wrapper.__doc__ += "\n\n    fname: optional path to save the figure."
+    return wrapper
+
+
 def _flat_draws(model, chain, n_draws, rng=None):
     rng = rng or np.random.default_rng(0)
     total = chain.n_chains * chain.n_draws
@@ -76,6 +97,7 @@ def _data_timespan(model, pad_frac=0.1, fallback=(56000.0, 59000.0)):
 
 
 # --------------------------------------------------------------------------
+@_savable
 def astromtimeplot(model, chain, axs=None, n_draws=50, planet_name=None):
     """Separation and position angle vs time (`astromtimeplot.jl`)."""
     from ..likelihoods.relastrom import PlanetRelAstromObs
@@ -119,6 +141,7 @@ def astromtimeplot(model, chain, axs=None, n_draws=50, planet_name=None):
     return axs
 
 
+@_savable
 def physorbitplot(model, chain, ax=None, n_draws=50, planet_name=None):
     """Physical orbit in AU (`show_physical_orbit`, octoplot.jl)."""
     if ax is None:
@@ -142,6 +165,7 @@ def physorbitplot(model, chain, ax=None, n_draws=50, planet_name=None):
     return ax
 
 
+@_savable
 def masspostplot(model, chain, axs=None, n_draws=2000):
     """Mass posterior histogram + mass vs semi-major axis
     (`masspostplot.jl`)."""
@@ -169,6 +193,7 @@ def masspostplot(model, chain, axs=None, n_draws=2000):
     return axs
 
 
+@_savable
 def dotplot(model, chain, ax=None, n_draws=4000, planet_name=None,
             mode="separation", epoch=None):
     """Mass vs separation/period scatter with marginal histograms
@@ -209,6 +234,7 @@ def dotplot(model, chain, ax=None, n_draws=4000, planet_name=None,
     return ax
 
 
+@_savable
 def hgcaplot(model, chain, axs=None, n_draws=50):
     """Proper-motion vs time with the HGCA measurements overlaid
     (`hgcaplot.jl` / `pmaplot.jl`)."""
@@ -273,6 +299,7 @@ def hgcaplot(model, chain, axs=None, n_draws=50):
     return axs
 
 
+@_savable
 def hipparcosplot(model, chain, ax=None, n_draws=30):
     """Hipparcos IAD abscissa residuals vs time with posterior model
     along-scan perturbations (`hipparcosplot.jl`)."""
@@ -323,6 +350,7 @@ def hipparcosplot(model, chain, ax=None, n_draws=30):
     return ax
 
 
+@_savable
 def gaiatimeplot(model, chain, ax=None, n_draws=30):
     """Gaia DR4 along-scan residuals vs time with posterior model curves
     (`gaiatimeplot.jl`)."""
@@ -367,6 +395,7 @@ def gaiatimeplot(model, chain, ax=None, n_draws=30):
     return ax
 
 
+@_savable
 def skytrackplot(model, chain, ax=None, sample_idx=None, t_range=None,
                  keplerian_mult=1.0):
     """On-sky photocentre track (pm + parallax + Keplerian reflex) for
@@ -423,6 +452,7 @@ def skytrackplot(model, chain, ax=None, sample_idx=None, t_range=None,
     return ax
 
 
+@_savable
 def absastromplot(model, chain, ax=None, n_draws=30):
     """G23H absolute-astrometry channel pulls: posterior distribution of
     (catalog - model)/sigma per channel (`absastromplot.jl` intent,
@@ -453,6 +483,7 @@ def absastromplot(model, chain, ax=None, n_draws=30):
     return ax
 
 
+@_savable
 def gaiastarplot(model, chain, ax=None, sample_idx=None):
     """Sky-plane star reflex orbit with the Gaia along-scan measurements
     drawn as scan-direction segments, for one posterior sample
@@ -521,6 +552,7 @@ def gaiastarplot(model, chain, ax=None, sample_idx=None):
     return ax
 
 
+@_savable
 def completenessplot(cmap, ax=None, levels=(0.5, 0.9)):
     """Completeness map heat map + contours (`completenessplot.jl`).
 
