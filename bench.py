@@ -127,27 +127,68 @@ def _run_case(model, n_chains=4096, n_warmup=700, n_samples=3000):
     return ess_min, rhat_max, dt
 
 
+def _run_partial_arc_pt():
+    """Hard-geometry secondary: the partial-arc (a,e,tp)-ridge dataset
+    sampled with variational parallel tempering (chees explorer) — the
+    production path for such posteriors. Measured on v5e: rhat_max
+    ~1.08 in ~450 s where single-temperature chains report rhat > 1.3
+    regardless of budget. Returns (min rank-normalized ESS across
+    params, max rank-normalized split R-hat, seconds)."""
+    from octofitter_tpu.chains import ess_rhat
+    from octofitter_tpu.samplers.tempering import octofit_pigeons
+
+    model = build_model(56800.0, 57400.0, name="bench_partial_arc")
+    model.initialize(jax.random.PRNGKey(0), verbosity=0)
+    t0 = time.perf_counter()
+    chain, info = octofit_pigeons(
+        model, n_chains=8, n_chains_variational=8, n_walkers=128,
+        n_rounds=8, explorer="chees", explorer_n_leapfrog=512,
+        verbosity=0, key=jax.random.PRNGKey(1),
+    )
+    dt = time.perf_counter() - t0
+    ess_min, rhat_max = np.inf, 0.0
+    for name in chain.names:
+        ess_i, rhat_i = ess_rhat(chain[name])
+        ess_min = min(ess_min, ess_i)
+        rhat_max = max(rhat_max, rhat_i)
+    return ess_min, rhat_max, dt
+
+
 def bench_sampling():
     # headline: full-phase unimodal dataset, gated on convergence.
     # 3000 draws amortize the 700-step warmup; ESS/draw stays ~0.7 so
     # the rank-normalized ESS is ~8.8M real effective samples per run.
+    # (8192 chains measured 816k ESS/s vs 762k at 4096, but the axon
+    # backend kernel-faults intermittently on the larger program —
+    # 4096 is the reliable configuration.)
     model = build_model()
     ess, rhat, dt = _run_case(model)
     if not np.isfinite(rhat) or rhat > 1.05:
         raise RuntimeError(f"bench sampling did not converge (rhat={rhat})")
-    out = {"ess_per_sec": ess / dt, "rhat_max": rhat}
+    return {"ess_per_sec": ess / dt, "rhat_max": rhat}
 
-    # secondary: partial-arc hard-geometry dataset, reported with its
-    # diagnostics and NO convergence gate (honest accounting of the
-    # regime where single-temperature samplers stall; use
-    # octofit_pigeons in production for such posteriors)
+
+def bench_partial_arc_pt():
+    """Secondary fields: partial-arc ridge via variational PT, bounded
+    by an alarm so a backend stall can never eat the headline result
+    (which is already printed by the time this runs)."""
+    import signal
+
+    def _timeout(signum, frame):
+        raise TimeoutError("partial-arc PT budget exceeded")
+
+    out = {}
+    old = signal.signal(signal.SIGALRM, _timeout)
+    signal.alarm(1200)
     try:
-        model_pa = build_model(56800.0, 57400.0, name="bench_partial_arc")
-        ess_pa, rhat_pa, dt_pa = _run_case(model_pa, n_samples=500)
-        out["partial_arc_ess_per_sec"] = ess_pa / dt_pa
-        out["partial_arc_rhat_max"] = rhat_pa
-    except Exception:
-        pass
+        ess_pa, rhat_pa, dt_pa = _run_partial_arc_pt()
+        out["partial_arc_pt_ess_per_sec"] = ess_pa / dt_pa
+        out["partial_arc_pt_rhat_max"] = rhat_pa
+    except Exception as e:
+        out["partial_arc_pt_error"] = repr(e)[:200]
+    finally:
+        signal.alarm(0)
+        signal.signal(signal.SIGALRM, old)
     return out
 
 
@@ -202,10 +243,14 @@ def main():
             "vs_baseline": ess_per_sec / BASELINE_ESS_PER_SEC,
             "rhat_max": res["rhat_max"],
         }
-        for k in ("partial_arc_ess_per_sec", "partial_arc_rhat_max"):
-            if k in res:
-                payload[k] = res[k]
-        print(json.dumps(payload))
+        # print the headline immediately — the PT secondary below is
+        # slower, and this line must survive even if the run is killed
+        print(json.dumps(payload), flush=True)
+        extra = bench_partial_arc_pt()
+        if extra:
+            payload.update(extra)
+            # re-print the complete record; consumers take the last line
+            print(json.dumps(payload), flush=True)
     except Exception:
         solves = bench_kepler()
         print(
