@@ -40,6 +40,8 @@ from test_astrom import write_synth_iad  # noqa: E402  (fixture generators)
 from test_g23h import g23h_catalog_row, synth_gost_dr23  # noqa: E402
 
 REAL_FIXTURE = "/root/reference/test/G23H-test-subset.feather"
+REAL_GOST = ("/root/reference/docs/src/"
+             "GOST-1.1927097109938027-1.5368044203832403-dr3.csv")
 
 
 def build_model(tmpdir="/tmp/g23h_example"):
@@ -68,7 +70,9 @@ def build_model(tmpdir="/tmp/g23h_example"):
     hip = HipparcosIADObs(
         iad_file=write_synth_iad(os.path.join(tmpdir, "iad.d"), res_sigma=1.5)
     )
-    gaia = GaiaCatalogFitObs(gaia_sol=gaia_sol, scanlaw=synth_gost_dr23(tmpdir))
+    scanlaw = (REAL_GOST if os.path.exists(REAL_GOST)
+               else synth_gost_dr23(tmpdir))
+    gaia = GaiaCatalogFitObs(gaia_sol=gaia_sol, scanlaw=scanlaw)
     g23h = G23HObs(catalog=row, gaia_like=gaia, hip_like=hip)
 
     plx0 = gaia_sol["parallax"]

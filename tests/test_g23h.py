@@ -484,6 +484,12 @@ def test_g23h_catalog_feather_ingestion(tmp_path):
 
 
 REAL_G23H_FIXTURE = "/root/reference/test/G23H-test-subset.feather"
+# the reference docs ship the REAL GOST scan-law forecast for this
+# star (filename embeds catalog ra/dec in degrees)
+REAL_G23H_GOST = (
+    "/root/reference/docs/src/"
+    "GOST-1.1927097109938027-1.5368044203832403-dr3.csv"
+)
 
 
 @pytest.mark.skipif(
@@ -540,7 +546,11 @@ def test_g23h_real_catalog_ingestion(tmp_path):
         parallax_error=row["parallax_error"],
         pmra_error=row["pmra_dr3_error"], pmdec_error=row["pmdec_dr3_error"],
     )
-    gaia = GaiaCatalogFitObs(gaia_sol=gaia_sol, scanlaw=synth_gost_dr23(tmp_path))
+    scanlaw = (
+        REAL_G23H_GOST if os.path.exists(REAL_G23H_GOST)
+        else synth_gost_dr23(tmp_path)
+    )
+    gaia = GaiaCatalogFitObs(gaia_sol=gaia_sol, scanlaw=scanlaw)
     g23h = G23HObs(catalog=row, gaia_like=gaia, hip_like=hip, freeze_epochs=True)
     assert g23h.has_hip and g23h.include_rv
     assert "ueva_dr3" in g23h.kinds
