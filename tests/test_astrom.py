@@ -434,3 +434,54 @@ def test_gaia_dr4_roundtrip():
     assert ll_true > ll_off
     val, grad = newmodel.ln_post_and_grad(newmodel.link(flat_true))
     assert np.all(np.isfinite(np.asarray(grad)))
+
+
+REFERENCE_IAD = (
+    "/root/reference/test/hipparcos_iad_testdata/"
+    "ResRec_JavaTool_2014/H021/H021547.d"
+)
+
+
+@pytest.mark.skipif(
+    not os.path.exists(REFERENCE_IAD),
+    reason="reference IAD fixture not available",
+)
+def test_hipparcos_iad_reference_format_file():
+    """Parse the reference's van Leeuwen Java-Tool-format IAD fixture
+    (authoritative header layout: HIP / Hp / radeg lines + scan table,
+    `hipparcos.jl:129-390`) and evaluate a model on it."""
+    hip = HipparcosIADObs(iad_file=REFERENCE_IAD)
+    # header solution parsed exactly
+    assert hip.hip_sol["hip"] == 21547
+    assert hip.hip_sol["plx"] == 50.0
+    assert abs(hip.hip_sol["radeg"] - 68.0795833) < 1e-6
+    assert abs(hip.hip_sol["dedeg"] - (-51.066667)) < 1e-6
+    assert hip.hip_sol["pm_ra"] == -5.0
+    assert hip.hip_sol["pm_de"] == 10.0
+    assert len(hip.table["epoch"]) == 26
+    # scan-line geometry columns exist and are unit-normalized
+    c, s = hip.table["cosphi"], hip.table["sinphi"]
+    assert np.all(np.abs(np.hypot(c, s) - 1.0) < 0.02)
+
+    # a minimal model over the real-format file evaluates finitely
+    b = oc.Planet(
+        name="b", basis="AbsoluteVisual{KepOrbit}",
+        variables=dict(a=3.0, e=0.1, i=0.6, omega=1.0, Omega=2.0,
+                       tp=48000.0, mass=dist.Uniform(0.0, 200.0)),
+    )
+    system = oc.System(
+        name="hip21547",
+        variables=dict(
+            M=1.0,
+            plx=dist.truncated(dist.Normal(50.0, 1.0), lower=0.1),
+            pmra=dist.Normal(-5.0, 10.0), pmdec=dist.Normal(10.0, 10.0),
+            ra=hip.hip_sol["radeg"], dec=hip.hip_sol["dedeg"],
+            rv=0.0, ref_epoch=HIPPARCOS_EPOCH_MJD,
+        ),
+        companions=[b], observations=[hip],
+    )
+    m = LogDensityModel(system, verbosity=0)
+    theta_t = m.link(m.sample_priors(jax.random.PRNGKey(0)))
+    lp, grad = jax.value_and_grad(m._ln_post_py)(theta_t)
+    assert np.isfinite(float(lp))
+    assert np.all(np.isfinite(np.asarray(grad)))
