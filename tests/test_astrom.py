@@ -485,3 +485,46 @@ def test_hipparcos_iad_reference_format_file():
     lp, grad = jax.value_and_grad(m._ln_post_py)(theta_t)
     assert np.isfinite(float(lp))
     assert np.all(np.isfinite(np.asarray(grad)))
+
+
+GAIA4_CSV = "/root/reference/docs/src/gaia4_epoch_astrometry.csv"
+
+
+@pytest.mark.skipif(
+    not os.path.exists(GAIA4_CSV),
+    reason="Gaia-4 DR4 pre-release CSV not available",
+)
+def test_gaia_dr4_real_gaia4_data():
+    """REAL Gaia DR4 pre-release epoch astrometry of Gaia-4 (ESA/DPAC;
+    reference `docs/src/gaia-dr4-prerelease.md`): the CCD->transit
+    median reduction reproduces the tutorial's 93 transits / 4.94 yr,
+    the no-planet 5-parameter linear fit recovers a physical parallax,
+    and the full model evaluates with finite posterior + gradient.
+    The full sampled recovery (P = 571 d, m = 11.8 Mjup) runs in
+    examples/07_gaia4_dr4_real_data.py."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "ex07",
+        os.path.join(os.path.dirname(__file__), os.pardir, "examples",
+                     "07_gaia4_dr4_real_data.py"),
+    )
+    ex07 = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ex07)
+
+    t = ex07.load_transit_level()
+    assert len(t["epoch"]) == 93  # tutorial: "93 transits"
+    span_yr = (t["epoch"].max() - t["epoch"].min()) / 365.25
+    assert abs(span_yr - 4.94) < 0.02
+
+    seed = ex07.linear_5param_seed(t)
+    # Gaia-4 is a nearby M dwarf: the epoch astrometry alone pins a
+    # physical parallax and proper motion
+    assert 10.0 < seed["plx"] < 20.0
+    assert abs(seed["pmra"]) > 50.0
+
+    model = ex07.build_model(t)
+    theta_t = model.link(model.sample_priors(jax.random.PRNGKey(0)))
+    lp, grad = jax.value_and_grad(model._ln_post_py)(theta_t)
+    assert np.isfinite(float(lp))
+    assert np.all(np.isfinite(np.asarray(grad)))
