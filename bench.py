@@ -192,6 +192,48 @@ def bench_partial_arc_pt():
     return out
 
 
+def bench_joint():
+    """North-star metric fields (BASELINE.md: "ESS/sec/chip on joint
+    astrometry+RV+HGCA fit"): the beta-Pic-like joint model from
+    examples/02_joint_astrom_pma_rv.py, sampled with the same strict
+    rank-normalized all-chain accounting as the headline."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "ex02",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "examples", "02_joint_astrom_pma_rv.py"),
+    )
+    ex02 = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ex02)
+    model, _, _ = ex02.build_model()
+    ess, rhat, dt = _run_case(model)
+    return {
+        "joint_astrom_pma_rv_ess_per_sec": ess / dt,
+        "joint_astrom_pma_rv_rhat_max": rhat,
+    }
+
+
+def _alarm_bounded(fn, seconds, error_key):
+    """Run fn() under a SIGALRM budget; on any failure return the error
+    string under error_key instead of raising."""
+    import signal
+
+    def _timeout(signum, frame):
+        raise TimeoutError(f"{error_key} budget exceeded")
+
+    old = signal.signal(signal.SIGALRM, _timeout)
+    signal.alarm(seconds)
+    try:
+        return fn()
+    except Exception as e:
+        return {error_key: repr(e)[:200]}
+    finally:
+        signal.alarm(0)
+        signal.signal(signal.SIGALRM, old)
+
+
 def bench_kepler():
     from octofitter_tpu.orbits import VisualOrbit, orbitsolve
 
@@ -243,14 +285,17 @@ def main():
             "vs_baseline": ess_per_sec / BASELINE_ESS_PER_SEC,
             "rhat_max": res["rhat_max"],
         }
-        # print the headline immediately — the PT secondary below is
-        # slower, and this line must survive even if the run is killed
+        # print the headline immediately — the phases below are slower,
+        # and this line must survive even if the run is killed; each
+        # subsequent phase re-prints the full record (consumers take
+        # the last complete JSON line)
         print(json.dumps(payload), flush=True)
-        extra = bench_partial_arc_pt()
-        if extra:
-            payload.update(extra)
-            # re-print the complete record; consumers take the last line
-            print(json.dumps(payload), flush=True)
+        payload.update(
+            _alarm_bounded(bench_joint, 900, "joint_astrom_pma_rv_error")
+        )
+        print(json.dumps(payload), flush=True)
+        payload.update(bench_partial_arc_pt())
+        print(json.dumps(payload), flush=True)
     except Exception:
         solves = bench_kepler()
         print(

@@ -28,6 +28,7 @@ def initialize(
     model,
     key=None,
     *,
+    guess: dict | None = None,
     n_prior_samples: int | None = None,
     n_multistart: int | None = None,
     n_opt_steps: int | None = None,
@@ -39,6 +40,14 @@ def initialize(
     Unset sizes resolve from the typed config (OCTOFITTER_INIT_* env
     overrides) — lower them for cheap CPU runs, raise for hard
     multimodal posteriors.
+
+    guess: optional {flat_parameter_name: natural-space value} of
+    starting guesses (the reference's `initialize!(model, nt)`,
+    `initialization.jl:184,344`) — every multistart point is pinned to
+    the guessed values before optimization (unspecified parameters
+    still vary), steering the mode search to a known solution on
+    multimodal posteriors. Names follow `model.parameter_names`
+    (e.g. "plx", "b_a", "GaiaRV_offset").
 
     Returns the mode (unconstrained space). Sets `model.starting_points`
     (array [n, D], unconstrained) and `model.laplace_sigma` ([D, D]).
@@ -60,6 +69,21 @@ def initialize(
     rand_draws = model.sample_priors(k_rand, n_multistart - n_top)
     rand_pts = jax.vmap(model.link)(rand_draws)
     starts = jnp.concatenate([top_pts, rand_pts], axis=0)
+    if guess:
+        names = list(model.parameter_names)
+        unknown = [k for k in guess if k not in names]
+        if unknown:
+            raise KeyError(
+                f"unknown guess parameter(s) {unknown}; valid names: {names}"
+            )
+        g_idx = jnp.asarray([names.index(k) for k in guess])
+        g_val = jnp.asarray([float(v) for v in guess.values()])
+
+        def apply_guess(theta_t):
+            nat = model.invlink(theta_t).at[g_idx].set(g_val)
+            return model.link(nat)
+
+        starts = jax.vmap(apply_guess)(starts)
     if verbosity >= 2:
         print(
             f"initialize: prior search best logpost {float(top_lps[0]):.2f}"

@@ -23,6 +23,9 @@ from ..orbits import orbitsolve, raoff, decoff, radvel, pmra, pmdec  # noqa: E40
 from ..constants import MJUP2MSOL  # noqa: E402
 
 
+from ._util import savable as _savable
+
+
 def _sample_orbits(model, chain, planet_name, n_draws=100, rng=None):
     """Construct orbit elements for posterior draws of one planet."""
     rng = rng or np.random.default_rng(0)
@@ -42,6 +45,7 @@ def _sample_orbits(model, chain, planet_name, n_draws=100, rng=None):
     return orbits, masses
 
 
+@_savable
 def astromplot(model, chain, ax=None, planet_name=None, n_draws=50):
     """Sky-plane orbit plot with astrometry data
     (`astromplot.jl`)."""
@@ -79,6 +83,7 @@ def astromplot(model, chain, ax=None, planet_name=None, n_draws=50):
     return ax
 
 
+@_savable
 def rvtimeplot(model, chain, ax=None, n_draws=50, t_range=None):
     """RV time-series plot (`rvtimeplot.jl`)."""
     if ax is None:
@@ -109,6 +114,7 @@ def rvtimeplot(model, chain, ax=None, n_draws=50, t_range=None):
     return ax
 
 
+@_savable
 def pmaplot(model, chain, ax=None, n_draws=50):
     """Proper-motion-anomaly plot (`pmaplot.jl`): reflex pm vs time with
     HGCA measurement windows."""
@@ -242,6 +248,7 @@ def octoplot(
     return fig
 
 
+@_savable
 def rvpostplot(model, chain, axs=None, n_draws=50, planet_name=None,
                sample_idx=None):
     """Phase-folded RV plot with a residual panel and GP conditioning

@@ -33,28 +33,8 @@ from ..orbits import (  # noqa: E402
     projectedseparation,
     raoff,
 )
+from ._util import savable as _savable  # noqa: E402
 from .octoplot import _sample_orbits  # noqa: E402
-
-
-def _savable(fn):
-    """Add a uniform `fname=` kwarg to a panel function: save the
-    panel's figure (at 150 dpi) after drawing."""
-    import functools
-
-    @functools.wraps(fn)
-    def wrapper(*args, fname=None, **kwargs):
-        out = fn(*args, **kwargs)
-        if fname is not None:
-            ax = out
-            while isinstance(ax, (list, tuple, np.ndarray)):
-                ax = ax[0] if len(ax) else None
-            fig = ax.get_figure() if ax is not None else plt.gcf()
-            fig.savefig(fname, dpi=150, bbox_inches="tight")
-        return out
-
-    if wrapper.__doc__:
-        wrapper.__doc__ += "\n\n    fname: optional path to save the figure."
-    return wrapper
 
 
 def _flat_draws(model, chain, n_draws, rng=None):

@@ -528,3 +528,97 @@ def test_gaia_dr4_real_gaia4_data():
     lp, grad = jax.value_and_grad(model._ln_post_py)(theta_t)
     assert np.isfinite(float(lp))
     assert np.all(np.isfinite(np.asarray(grad)))
+
+
+BH3_ASTROM = "/root/reference/docs/src/astrom.dat"
+BH3_RV = "/root/reference/docs/src/epochrv.dat"
+
+
+@pytest.mark.skipif(
+    not (os.path.exists(BH3_ASTROM) and os.path.exists(BH3_RV)),
+    reason="Gaia BH3 published data not available",
+)
+def test_gaia_bh3_real_data():
+    """REAL Gaia BH3 DR4 astrometry + epoch RVs (ESA; reference
+    `docs/src/gaia-iad.md`): the CCD->transit reduction and the
+    5-parameter linear seed recover BH3's published halo-star proper
+    motion, and the joint model evaluates finitely. Full sampled
+    recovery (M_BH = 33 Msun, e = 0.729) runs in
+    examples/08_gaia_bh3_joint_fit.py."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "ex08",
+        os.path.join(os.path.dirname(__file__), os.pardir, "examples",
+                     "08_gaia_bh3_joint_fit.py"),
+    )
+    ex08 = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ex08)
+
+    t = ex08.load_bh3_astrom()
+    assert 60 <= len(t["centroid_pos_al"]) <= 80  # ~70 transits
+    rv = ex08.load_bh3_rv()
+    assert len(rv["rv"]) == 17
+    # systemic velocity ~ -357 km/s (published)
+    assert -370e3 < np.mean(rv["rv"]) < -320e3
+
+    seed = ex08.linear_5param_seed(t)
+    # published DR3 proper motion: (-28.3, -155) mas/yr
+    assert abs(seed["pmra"] - (-28.3)) < 10.0
+    assert abs(seed["pmdec"] - (-155.0)) < 15.0
+
+    model = ex08.build_model()
+    theta_t = model.link(model.sample_priors(jax.random.PRNGKey(0)))
+    lp, grad = jax.value_and_grad(model._ln_post_py)(theta_t)
+    assert np.isfinite(float(lp))
+    assert np.all(np.isfinite(np.asarray(grad)))
+
+
+def test_initialize_guess_steering(tmp_path):
+    """`initialize(guess=...)` (the reference's `initialize!(model, nt)`)
+    pins named parameters across the multistart so the mode search
+    lands at the guessed solution's basin."""
+    rng = np.random.default_rng(0)
+    from octofitter_tpu.orbits import VisualOrbit, orbitsolve, raoff, decoff
+
+    true = dict(a=7.0, e=0.2, i=0.6, omega=1.0, Omega=2.0, tp=57000.0,
+                M=1.2, plx=50.0)
+    epochs = np.linspace(55000.0, 59500.0, 8)
+    sol = orbitsolve(VisualOrbit.from_params(**true), jnp.asarray(epochs))
+    astrom = oc.PlanetRelAstromObs(
+        dict(epoch=epochs,
+             ra=np.asarray(raoff(sol)) + rng.standard_normal(8) * 2.0,
+             dec=np.asarray(decoff(sol)) + rng.standard_normal(8) * 2.0,
+             σ_ra=np.full(8, 2.0), σ_dec=np.full(8, 2.0)),
+        name="d",
+    )
+    b = oc.Planet(
+        name="b", basis="Visual{KepOrbit}",
+        variables=dict(a=dist.Uniform(0.001, 100.0),
+                       e=dist.Uniform(0.0, 0.99), i=dist.Sine(),
+                       omega=dist.Uniform(0.0, 2 * np.pi),
+                       Omega=dist.Uniform(0.0, 2 * np.pi),
+                       tp=dist.Uniform(55000.0, 60000.0)),
+        observations=[astrom],
+    )
+    system = oc.System(
+        name="guesstest",
+        variables=dict(M=dist.truncated(dist.Normal(1.2, 0.1), lower=0.1),
+                       plx=dist.truncated(dist.Normal(50.0, 0.02), lower=0.1)),
+        companions=[b],
+    )
+    model = LogDensityModel(system, verbosity=0)
+    mode = model.initialize(
+        jax.random.PRNGKey(0),
+        guess=dict(b_a=true["a"], b_e=true["e"], b_i=true["i"]),
+        verbosity=0, n_prior_samples=5000, n_multistart=64,
+        n_opt_steps=300, n_draws=64,
+    )
+    nat = np.asarray(model.invlink(mode))
+    names = model.parameter_names
+    assert abs(nat[names.index("b_a")] - true["a"]) < 1.0
+    # unknown names error clearly
+    with pytest.raises(KeyError):
+        model.initialize(jax.random.PRNGKey(0), guess=dict(nope=1.0),
+                         n_prior_samples=100, n_multistart=8,
+                         n_opt_steps=10, n_draws=8, verbosity=0)

@@ -209,3 +209,71 @@ def test_pt_variational_leg():
     # and its leg's barrier is far below the prior leg's
     assert info["global_barrier_variational"] < 0.2
     assert info["global_barrier_variational"] < info["global_barrier"]
+
+
+def test_pt_partial_arc_production_recipe():
+    """The production configuration for ridge posteriors: initialized
+    starts + ChEES per-temperature explorer + variational leg. Measured
+    in round 2: rhat 1.04-1.08 where plain prior-start PT sits at
+    1.1-1.3 and single-temperature chains at >1.3 (CLAUDE.md)."""
+    import sys
+
+    sys.path.insert(0, "tests")
+    from octofitter_tpu.chains import ess_rhat
+    from octofitter_tpu.orbits import VisualOrbit, orbitsolve, raoff, decoff
+
+    true = dict(a=7.0, e=0.2, i=0.6, omega=1.0, Omega=2.0, tp=57000.0,
+                M=1.2, plx=50.0)
+    n = 12
+    rng = np.random.default_rng(0)
+    epochs = np.linspace(56800.0, 57400.0, n)
+    sol = orbitsolve(VisualOrbit.from_params(**true), jnp.asarray(epochs))
+    astrom = oc.PlanetRelAstromObs(
+        dict(
+            epoch=epochs,
+            ra=np.asarray(raoff(sol)) + rng.standard_normal(n) * 2.0,
+            dec=np.asarray(decoff(sol)) + rng.standard_normal(n) * 2.0,
+            σ_ra=np.full(n, 2.0), σ_dec=np.full(n, 2.0),
+        ),
+        name="simdata",
+    )
+    b = oc.Planet(
+        name="b", basis="Visual{KepOrbit}",
+        variables=dict(
+            a=dist.Uniform(0.001, 100.0), e=dist.Uniform(0.0, 0.99),
+            i=dist.Sine(), omega=oc.UniformCircular(),
+            Omega=oc.UniformCircular(), theta=oc.UniformCircular(),
+            tp=lambda s, p: oc.theta_at_epoch_to_tperi(
+                p.theta, 57000.0, M=s.M, e=p.e, a=p.a, i=p.i,
+                omega=p.omega, Omega=p.Omega),
+        ),
+        observations=[astrom],
+    )
+    system = oc.System(
+        name="partialarc_prod",
+        variables=dict(
+            M=dist.truncated(dist.Normal(1.2, 0.1), lower=0.1),
+            plx=dist.truncated(dist.Normal(50.0, 0.02), lower=0.1),
+        ),
+        companions=[b],
+    )
+    model = oc.LogDensityModel(system, verbosity=0)
+    # light init config (same trick as example 05) keeps CI fast
+    model.initialize(
+        jax.random.PRNGKey(0), verbosity=0,
+        n_prior_samples=20_000, n_multistart=128, n_opt_steps=400,
+        n_draws=256,
+    )
+    chain, info = octofit_pigeons(
+        model, n_chains=8, n_chains_variational=8, n_walkers=16,
+        n_rounds=7, explorer="chees", explorer_n_leapfrog=512,
+        verbosity=0, key=jax.random.PRNGKey(0),
+    )
+    a = chain["b_a"]
+    q5, q95 = np.quantile(a.reshape(-1), [0.05, 0.95])
+    assert q5 < 12.0 and q95 > 25.0, (q5, q95)  # full ridge covered
+    _, rhat = ess_rhat(a)
+    assert rhat < 1.2, rhat
+    # the variational leg engaged and its barrier is finite
+    assert np.isfinite(info["global_barrier_variational"])
+    assert np.isfinite(info["logevidence"])
