@@ -172,24 +172,15 @@ def bench_partial_arc_pt():
     """Secondary fields: partial-arc ridge via variational PT, bounded
     by an alarm so a backend stall can never eat the headline result
     (which is already printed by the time this runs)."""
-    import signal
 
-    def _timeout(signum, frame):
-        raise TimeoutError("partial-arc PT budget exceeded")
-
-    out = {}
-    old = signal.signal(signal.SIGALRM, _timeout)
-    signal.alarm(1200)
-    try:
+    def _run():
         ess_pa, rhat_pa, dt_pa = _run_partial_arc_pt()
-        out["partial_arc_pt_ess_per_sec"] = ess_pa / dt_pa
-        out["partial_arc_pt_rhat_max"] = rhat_pa
-    except Exception as e:
-        out["partial_arc_pt_error"] = repr(e)[:200]
-    finally:
-        signal.alarm(0)
-        signal.signal(signal.SIGALRM, old)
-    return out
+        return {
+            "partial_arc_pt_ess_per_sec": ess_pa / dt_pa,
+            "partial_arc_pt_rhat_max": rhat_pa,
+        }
+
+    return _alarm_bounded(_run, 1200, "partial_arc_pt_error")
 
 
 def bench_joint():

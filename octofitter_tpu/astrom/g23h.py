@@ -368,14 +368,16 @@ class G23HObs(AbstractObs):
         missing = [k for k in _REQ_CAT if k not in catalog]
         if missing:
             raise ValueError(f"G23H catalog row missing {missing}")
-        self.catalog = {
-            k: (
-                float(np.asarray(v))
-                if np.ndim(v) == 0 and not isinstance(v, (int, str))
-                else v
-            )
-            for k, v in catalog.items()
-        }
+        def _coerce_scalar(v):
+            # integer dtypes (incl. np.int64 gaia_source_id, 19 digits
+            # > 2^53) must go to Python int, not float
+            if np.ndim(v) != 0 or isinstance(v, (int, str)):
+                return v
+            if np.issubdtype(np.asarray(v).dtype, np.integer):
+                return int(np.asarray(v))
+            return float(np.asarray(v))
+
+        self.catalog = {k: _coerce_scalar(v) for k, v in catalog.items()}
         self.gaia_like = gaia_like
         self.hip_like = hip_like
         self.ueva_mode = ueva_mode

@@ -148,7 +148,9 @@ def _pt_load_checkpoint(path):
         from .chees import _adam_init
 
         adam_states = [_adam_init(jnp.float64) for _ in range(n_temps)]
-        log_T = np.full(n_temps, np.log(16.0 * 0.05))
+        # derive the trajectory-length fallback from the checkpoint's
+        # adapted per-rung step sizes, not the hard-coded initial eps
+        log_T = np.log(16.0 * np.asarray(z["eps"], dtype=float))
     n_dim = z["theta"].shape[-1]
     return dict(
         theta=jnp.asarray(z["theta"]),
@@ -235,6 +237,14 @@ def octofit_pigeons(
     (`OctofitterPigeonsExt.jl:70-72`); gradient-based explorers mix
     faster per sweep on these posteriors.
     """
+    if n_chains_variational == 1:
+        # a single variational rung would be a recorded target rung
+        # whose state is IID-refreshed from the reference every sweep
+        # and always-accept-swapped into rung N-1, biasing the posterior
+        raise ValueError(
+            "n_chains_variational must be 0 or >= 2 (a 1-rung "
+            "variational leg would record raw reference draws)"
+        )
     if key is None:
         key = jax.random.PRNGKey(0)
     D = model.D
