@@ -67,6 +67,11 @@ def octocorner(model_or_chain, chain=None, *, variables=None, small=False,
     # drop constant columns (break histogramming)
     variables = [v for v in variables if np.std(data[v]) > 0]
     k = len(variables)
+    if k == 0:
+        raise ValueError(
+            "octocorner: no non-constant columns to plot (did the "
+            "sampler return a single draw?)"
+        )
     fig, axes = plt.subplots(k, k, figsize=(1.8 * k, 1.8 * k))
     if k == 1:
         axes = np.array([[axes]])

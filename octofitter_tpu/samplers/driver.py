@@ -300,8 +300,14 @@ def octofit_rejection(
 ):
     """Rejection sampling from the prior (`sampling.jl:168-279`).
 
-    Draw IID prior batches on device, accept each draw with probability
-    exp(ll - max_ll) where max_ll is the running maximum likelihood.
+    Draw IID prior batches on device; each draw is accepted with
+    probability exp(ll - max_ll) against the GLOBAL maximum likelihood,
+    exactly as the reference does with its single pre-evaluated batch:
+    every batch keeps the superset accepted under the running maximum
+    (which only grows, so acceptance probabilities only shrink) along
+    with each draw's uniform variate, and the final accept re-filters
+    all retained candidates under the final max_ll — so the result is
+    distributionally identical to a single giant batch.
     Pairs with `ofti_linear_solve` for OFTI-style workflows.
     """
     if key is None:
@@ -314,19 +320,26 @@ def octofit_rejection(
         lls = jax.vmap(model.ln_like_nt)(nts)
         return draws, jnp.where(jnp.isnan(lls), -jnp.inf, lls)
 
-    accepted = []
+    cand_draws, cand_ll, cand_u = [], [], []
     max_ll = -np.inf
     total_drawn = 0
     for i in range(max_batches):
         key, k_batch, k_acc = jax.random.split(key, 3)
         draws, lls = batch_lls(k_batch)
         lls_np = np.asarray(lls)
-        max_ll = max(max_ll, float(lls_np.max()))
         u = np.asarray(jax.random.uniform(k_acc, (batch_size,)))
-        keep = u < np.exp(lls_np - max_ll)
-        accepted.append(np.asarray(draws)[keep])
+        if np.isfinite(lls_np).any():
+            max_ll = max(max_ll, float(lls_np[np.isfinite(lls_np)].max()))
+        with np.errstate(over="ignore"):
+            keep = u < np.exp(lls_np - max_ll)
+        cand_draws.append(np.asarray(draws)[keep])
+        cand_ll.append(lls_np[keep])
+        cand_u.append(u[keep])
         total_drawn += batch_size
-        n_acc = sum(len(a) for a in accepted)
+        # exact acceptance count under the current global max
+        ll_all = np.concatenate(cand_ll)
+        u_all = np.concatenate(cand_u)
+        n_acc = int(np.sum(u_all < np.exp(ll_all - max_ll)))
         if verbosity >= 2:
             print(
                 f"octofit_rejection: batch {i + 1}, accepted {n_acc}"
@@ -335,9 +348,22 @@ def octofit_rejection(
         if n_acc >= num_samples:
             break
 
-    draws_nat = np.concatenate(accepted)[:num_samples]
+    if not np.isfinite(max_ll):
+        raise RuntimeError(
+            "all prior samples produced non-finite log-likelihoods"
+        )
+    draws_all = np.concatenate(cand_draws)
+    final = u_all < np.exp(ll_all - max_ll)
+    draws_nat = draws_all[final][:num_samples]
+    ll_acc = ll_all[final][:num_samples]
     if len(draws_nat) == 0:
         raise RuntimeError("rejection sampling accepted zero draws")
+    if len(draws_nat) / total_drawn < 1e-3 and verbosity >= 1:
+        print(
+            "octofit_rejection: very low acceptance rate "
+            f"({100 * len(draws_nat) / total_drawn:.3g}%); consider "
+            "octofit (HMC) instead"
+        )
 
     nts = jax.vmap(model.arr2nt)(jnp.asarray(draws_nat))
     cols = flatten_params_batch(nts)
@@ -350,8 +376,15 @@ def octofit_rejection(
             flat2 = v.reshape(v.shape[0], -1)
             for j in range(flat2.shape[-1]):
                 data[f"{k}_{j + 1}"] = flat2[None, :, j]
-    nts_ll = jax.vmap(model.ln_like_nt)(jax.vmap(model.arr2nt)(jnp.asarray(draws_nat)))
-    internals = {"loglike": np.asarray(nts_ll)[None, :]}
+    lp = np.asarray(
+        jax.vmap(model.ln_prior_transformed)(
+            jax.vmap(model.link)(jnp.asarray(draws_nat))
+        )
+    )
+    internals = {
+        "loglike": ll_acc[None, :],
+        "logpost": (ll_acc + lp)[None, :],
+    }
     info = {
         "sampler": "rejection",
         "model_name": model.system.name,
