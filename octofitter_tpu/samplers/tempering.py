@@ -37,6 +37,41 @@ from .nuts import (
 )
 
 
+def apply_deo_swap(theta, ll, accept_swap):
+    """Apply one deterministic-even-odd swap pass to the ladder.
+
+    accept_swap is the per-pair accept mask (W, NT-1); active pairs
+    never overlap, so each rung either takes its right neighbor (its
+    own pair accepted), its left neighbor (the previous pair accepted),
+    or stays. Written as static-shift `jnp.roll` neighbor exchanges
+    rather than a `take_along_axis` gather: on a device mesh with the
+    rung axis sharded, XLA's SPMD partitioner lowers the unit rolls to
+    `collective-permute` (ICI neighbor traffic — the Pigeons+MPI
+    replacement planned in SURVEY §2.4; see
+    `tests/test_parallel.py:test_deo_swap_lowers_to_collective_permute`)
+    where a gather would require an all-gather of the full ladder.
+
+    Returns (theta, ll, idx) with idx the applied permutation (for the
+    host-side replica-label bookkeeping).
+    """
+    W, NT = ll.shape
+    pad_f = jnp.zeros((W, 1), bool)
+    swap_right = jnp.concatenate([accept_swap, pad_f], axis=1)  # pair j
+    swap_left = jnp.concatenate([pad_f, accept_swap], axis=1)   # pair j-1
+    right = jnp.roll(theta, -1, axis=1)
+    left = jnp.roll(theta, 1, axis=1)
+    theta = jnp.where(
+        swap_right[:, :, None], right, jnp.where(swap_left[:, :, None], left, theta)
+    )
+    ll = jnp.where(
+        swap_right, jnp.roll(ll, -1, axis=1),
+        jnp.where(swap_left, jnp.roll(ll, 1, axis=1), ll),
+    )
+    base = jnp.arange(NT)[None, :]
+    idx = jnp.where(swap_right, base + 1, jnp.where(swap_left, base - 1, base))
+    return theta, ll, idx
+
+
 def _gauss_logpdf(theta_t, q_mean, q_log_std):
     z = (theta_t - q_mean) * jnp.exp(-q_log_std)
     return (
@@ -198,6 +233,7 @@ def octofit_pigeons(
     verbosity: int = 1,
     checkpoint: str | None = None,
     resume: str | None = None,
+    mesh=None,
 ):
     """Parallel-tempered sampling; returns (Chains, pt_info dict).
 
@@ -224,6 +260,12 @@ def octofit_pigeons(
     saved there (npz). resume: path of such a checkpoint; the run
     continues mid-schedule, bit-identical to an uninterrupted run with
     the same n_rounds.
+
+    mesh: a `jax.sharding.Mesh` to distribute the ladder across chips:
+    the first mesh axis shards the walker axis, a second axis (if
+    present) shards the rung axis, with DEO swaps becoming
+    collective-permute neighbor exchanges over ICI inside the jitted
+    sweep. Sampling results are numerically identical to mesh=None.
 
     explorer: "nuts" (default; per-replica dynamic trees, best mixing
     per sweep), "chees" (per-temperature shared-trajectory ChEES-HMC:
@@ -274,6 +316,35 @@ def octofit_pigeons(
     else:
         draws = model.sample_priors(k0, W * NT)
         theta = jax.vmap(model.link)(draws).reshape(W, NT, D)
+
+    # --- mesh sharding of the (walkers, rungs) ladder ------------------
+    # mesh: a jax.sharding.Mesh whose first axis shards the walker axis
+    # and whose (optional) second axis shards the rung axis. The sweep
+    # is one jitted SPMD program: explorer transitions are local, the
+    # DEO swap's unit-shift neighbor exchanges lower to
+    # collective-permute over the rung axis (ICI), replacing the
+    # reference's one-process-per-chain MPI exchange
+    # (`OctofitterPigeonsExt.jl:88-96`). Numerically identical to the
+    # single-device ladder (tests/test_parallel.py).
+    _theta_sharding = None
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        axes = list(mesh.axis_names)
+        w_ax = axes[0]
+        r_ax = axes[1] if len(axes) > 1 else None
+        if W % mesh.shape[w_ax] != 0:
+            raise ValueError(
+                f"n_walkers={W} not divisible by mesh axis "
+                f"'{w_ax}'={mesh.shape[w_ax]}"
+            )
+        if r_ax is not None and NT % mesh.shape[r_ax] != 0:
+            raise ValueError(
+                f"total rungs {NT} not divisible by mesh axis "
+                f"'{r_ax}'={mesh.shape[r_ax]}"
+            )
+        _theta_sharding = NamedSharding(mesh, P(w_ax, r_ax))
+        theta = jax.device_put(theta, _theta_sharding)
 
     # per-leg annealing schedules (host side); rung order is
     # [prior ... target | target ... variational reference]
@@ -423,17 +494,9 @@ def octofit_pigeons(
         u_sw = jax.random.uniform(k_swap, (W, NT - 1))
         accept_swap = active[None, :] & (jnp.log(u_sw) < log_alpha)
 
-        # build a permutation per walker: swap i <-> i+1 where accepted.
-        # active pairs never overlap, so position j pulls from j+1 when
-        # pair j accepted, from j-1 when pair j-1 accepted, else j.
-        base = jnp.arange(NT)[None, :]
-        pad_f = jnp.zeros((W, 1), bool)
-        swap_right = jnp.concatenate([accept_swap, pad_f], axis=1)  # pair j
-        swap_left = jnp.concatenate([pad_f, accept_swap], axis=1)   # pair j-1
-        idx = jnp.where(swap_right, base + 1, jnp.where(swap_left, base - 1, base))
-
-        theta = jnp.take_along_axis(theta, idx[:, :, None], axis=1)
-        ll = jnp.take_along_axis(ll, idx, axis=1)
+        theta, ll, idx = apply_deo_swap(theta, ll, accept_swap)
+        if mesh is not None:
+            theta = jax.lax.with_sharding_constraint(theta, _theta_sharding)
         return theta, accept, ll, accept_swap, idx, g_logT
 
     # ------------------------------------------------------------------
@@ -463,6 +526,8 @@ def octofit_pigeons(
                 f"(n_walkers={W}, n_rungs={NT}, D={D})"
             )
         theta = st["theta"]
+        if _theta_sharding is not None:
+            theta = jax.device_put(theta, _theta_sharding)
         betas_fix = np.asarray(st["betas"])
         betas_var = np.asarray(st["betas_var"])
         eps = st["eps"]

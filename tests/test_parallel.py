@@ -256,3 +256,104 @@ def test_multihost_dcn_two_processes():
         assert p.returncode == 0, out[-2000:]
     assert any("proc0" in o and "OK" in o for o in outs), outs
     assert any("proc1" in o and "OK" in o for o in outs), outs
+
+
+# ---------------------------------------------------------------------------
+def test_deo_swap_lowers_to_collective_permute():
+    """The production DEO swap (`samplers/tempering.py:apply_deo_swap`)
+    written as unit `jnp.roll` neighbor exchanges: (a) it matches the
+    take_along_axis permutation formulation exactly, and (b) with the
+    rung axis sharded over the mesh, the compiled SPMD program moves
+    ladder states with collective-permute (the ICI path SURVEY §2.4
+    plans), not an all-gather."""
+    from octofitter_tpu.samplers.tempering import apply_deo_swap
+
+    rng = np.random.default_rng(1)
+    W, NT, D = 4, 8, 3
+    theta = jnp.asarray(rng.standard_normal((W, NT, D)))
+    ll = jnp.asarray(rng.standard_normal((W, NT)))
+    # non-overlapping active pairs (even pass), random acceptance
+    accept = np.zeros((W, NT - 1), bool)
+    accept[:, 0::2] = rng.random((W, (NT - 1 + 1) // 2)) < 0.5
+    accept = jnp.asarray(accept)
+
+    th2, ll2, idx = jax.jit(apply_deo_swap)(theta, ll, accept)
+    # reference: gather formulation
+    th_ref = jnp.take_along_axis(theta, idx[:, :, None], axis=1)
+    ll_ref = jnp.take_along_axis(ll, idx, axis=1)
+    np.testing.assert_array_equal(np.asarray(th2), np.asarray(th_ref))
+    np.testing.assert_array_equal(np.asarray(ll2), np.asarray(ll_ref))
+
+    # sharded lowering: rungs over 4 devices
+    mesh = Mesh(np.array(jax.devices()[:4]), axis_names=("rungs",))
+    s3 = NamedSharding(mesh, P(None, "rungs", None))
+    s2 = NamedSharding(mesh, P(None, "rungs"))
+    theta_s = jax.device_put(theta, s3)
+    ll_s = jax.device_put(ll, s2)
+    # pair axis NT-1 is not shardable; keep the mask replicated
+    lowered = jax.jit(apply_deo_swap).lower(theta_s, ll_s, accept)
+    compiled = lowered.compile()
+    hlo = compiled.as_text()
+    assert "collective-permute" in hlo, hlo[:2000]
+    assert "all-gather" not in hlo, "swap should not all-gather the ladder"
+    th3, ll3, _ = compiled(theta_s, ll_s, accept)
+    np.testing.assert_array_equal(np.asarray(th3), np.asarray(th_ref))
+    np.testing.assert_array_equal(np.asarray(ll3), np.asarray(ll_ref))
+
+
+def test_pigeons_mesh_matches_single_device():
+    """octofit_pigeons(mesh=...) over a (walkers, rungs) mesh is
+    numerically identical to the single-device ladder (the SPMD sweep
+    is the same program partitioned; VERDICT r2 item 3)."""
+    import octofitter_tpu as oc
+    from octofitter_tpu import distributions as dist
+    from octofitter_tpu.model.variables import UserLikelihood
+    from octofitter_tpu.samplers.tempering import octofit_pigeons
+
+    def build():
+        obs = UserLikelihood(dist.Normal(1.0, 0.5), "x", name="obs1")
+        system = oc.System(
+            name="conj_mesh",
+            variables=dict(x=dist.Normal(0.0, 1.0)),
+            observations=[obs],
+        )
+        return oc.LogDensityModel(system, verbosity=0)
+
+    mesh = Mesh(
+        np.array(jax.devices()).reshape(4, 2), axis_names=("walkers", "rungs")
+    )
+
+    # (a) single-round program: BIT-identical partitioned vs not
+    kwargs1 = dict(
+        n_rounds=1, n_chains=4, n_walkers=8,
+        explorer="hmc", explorer_n_leapfrog=8, verbosity=0,
+    )
+    c_ref, _ = octofit_pigeons(build(), key=jax.random.PRNGKey(0), **kwargs1)
+    c_mesh, _ = octofit_pigeons(
+        build(), key=jax.random.PRNGKey(0), mesh=mesh, **kwargs1
+    )
+    np.testing.assert_array_equal(c_mesh.flat("x"), c_ref.flat("x"))
+
+    # (b) multi-round run: ulp-level compilation differences amplify
+    # through chaotic HMC trajectories, but stay tiny over 30 sweeps
+    # (measured 6e-9) and every swap decision — the distributed part —
+    # is identical
+    kwargs4 = dict(kwargs1, n_rounds=4)
+    chain_ref, info_ref = octofit_pigeons(
+        build(), key=jax.random.PRNGKey(0), **kwargs4
+    )
+    chain_mesh_, info_mesh = octofit_pigeons(
+        build(), key=jax.random.PRNGKey(0), mesh=mesh, **kwargs4
+    )
+    np.testing.assert_allclose(
+        chain_mesh_.flat("x"), chain_ref.flat("x"), rtol=0, atol=1e-6
+    )
+    assert info_mesh["n_round_trips"] == info_ref["n_round_trips"]
+    np.testing.assert_allclose(
+        np.asarray(info_mesh["swap_rejection"]),
+        np.asarray(info_ref["swap_rejection"]),
+        atol=1e-12,
+    )
+    np.testing.assert_allclose(
+        info_mesh["logevidence"], info_ref["logevidence"], atol=1e-6
+    )
