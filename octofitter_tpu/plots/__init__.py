@@ -2,6 +2,7 @@
 
 from .octoplot import octoplot, astromplot, rvtimeplot, pmaplot, rvpostplot
 from .corner import octocorner
+from .sbc_plots import calibrationplots, sbc_corner
 from .panels import (
     absastromplot,
     astromtimeplot,
@@ -18,6 +19,8 @@ from .panels import (
 
 __all__ = [
     "octoplot",
+    "calibrationplots",
+    "sbc_corner",
     "octocorner",
     "astromplot",
     "rvtimeplot",

@@ -196,3 +196,40 @@ def test_sbc_rank_uniformity_calibration():
         p = kstest(ranks, "uniform").pvalue
         assert p > 0.005, f"{name}: SBC ranks not uniform (p={p:.4f}, ranks={ranks})"
         assert 0.25 < np.mean(ranks) < 0.75
+
+    # calibration plots on the real trial output (reference
+    # `calibrationplots`, sbc.jl:215-250)
+    import matplotlib.pyplot as plt
+
+    from octofitter_tpu.plots import calibrationplots, sbc_corner
+
+    fig = calibrationplots(res)
+    assert len([a for a in fig.axes if a.get_visible()]) >= 2
+    plt.close(fig)
+    fig = sbc_corner(res)
+    plt.close(fig)
+
+
+def test_calibrationplots_synthetic_ranks(tmp_path):
+    """Plot functions standalone: uniform + miscalibrated rank sets,
+    file output, n_bins control."""
+    import matplotlib.pyplot as plt
+
+    from octofitter_tpu.plots import calibrationplots, sbc_corner
+
+    rng = np.random.default_rng(0)
+    results = {
+        "good": rng.uniform(0, 1, 100),
+        "biased": {"ranks": rng.beta(4, 1, 100), "ks_distance": 0.4},
+    }
+    f1 = str(tmp_path / "sbc_hist.png")
+    fig = calibrationplots(results, n_bins=10, fname=f1)
+    assert (tmp_path / "sbc_hist.png").exists()
+    # the biased panel's title carries its KS distance
+    titles = [a.get_title() for a in fig.axes if a.get_visible()]
+    assert any("KS 0.40" in t for t in titles)
+    plt.close(fig)
+    f2 = str(tmp_path / "sbc_corner.png")
+    fig = sbc_corner(results, fname=f2)
+    assert (tmp_path / "sbc_corner.png").exists()
+    plt.close(fig)
