@@ -127,60 +127,137 @@ def _run_case(model, n_chains=4096, n_warmup=700, n_samples=3000):
     return ess_min, rhat_max, dt
 
 
-def _run_partial_arc_pt():
+def _chain_ess_rhat(chain):
+    from octofitter_tpu.chains import ess_rhat
+
+    ess_min, rhat_max = np.inf, 0.0
+    for name in chain.names:
+        ess_i, rhat_i = ess_rhat(chain[name])
+        ess_min = min(ess_min, ess_i)
+        rhat_max = max(rhat_max, rhat_i)
+    return ess_min, rhat_max
+
+
+_PA_KWARGS = dict(
+    n_chains=8, n_chains_variational=8, n_walkers=128,
+    explorer="chees", explorer_n_leapfrog=512, verbosity=0,
+)
+
+
+def _run_partial_arc_pt(checkpoint_path, n_rounds=8, resume=None):
     """Hard-geometry secondary: the partial-arc (a,e,tp)-ridge dataset
     sampled with variational parallel tempering (chees explorer) — the
-    production path for such posteriors. Measured on v5e: rhat_max
-    ~1.08 in ~450 s where single-temperature chains report rhat > 1.3
-    regardless of budget. Returns (min rank-normalized ESS across
-    params, max rank-normalized split R-hat, seconds)."""
-    from octofitter_tpu.chains import ess_rhat
+    production path for such posteriors (single-temperature chains
+    report rhat > 1.3 regardless of budget). Measured on v5e: rhat_max
+    ~1.08 after 8 rounds (~450 s), ~1.04 after 9 (~855 s total) —
+    the 9th round runs only via checkpoint resume when the alarm budget
+    allows. Returns (min rank-normalized ESS across params, max
+    rank-normalized split R-hat, seconds)."""
     from octofitter_tpu.samplers.tempering import octofit_pigeons
 
     model = build_model(56800.0, 57400.0, name="bench_partial_arc")
     model.initialize(jax.random.PRNGKey(0), verbosity=0)
     t0 = time.perf_counter()
     chain, info = octofit_pigeons(
-        model, n_chains=8, n_chains_variational=8, n_walkers=128,
-        n_rounds=8, explorer="chees", explorer_n_leapfrog=512,
-        verbosity=0, key=jax.random.PRNGKey(1),
+        model, n_rounds=n_rounds, key=jax.random.PRNGKey(1),
+        checkpoint=checkpoint_path, resume=resume, **_PA_KWARGS,
     )
     dt = time.perf_counter() - t0
-    ess_min, rhat_max = np.inf, 0.0
-    for name in chain.names:
-        ess_i, rhat_i = ess_rhat(chain[name])
-        ess_min = min(ess_min, ess_i)
-        rhat_max = max(rhat_max, rhat_i)
+    ess_min, rhat_max = _chain_ess_rhat(chain)
     return ess_min, rhat_max, dt
+
+
+def _headline_case(n_chains):
+    model = build_model()
+    ess, rhat, dt = _run_case(model, n_chains=n_chains)
+    if not np.isfinite(rhat) or rhat > 1.05:
+        raise RuntimeError(f"bench sampling did not converge (rhat={rhat})")
+    return {"ess_per_sec": ess / dt, "rhat_max": rhat,
+            "n_chains": n_chains}
+
+
+def _try_8192_subprocess(attempts=2, timeout_s=900):
+    """8192 chains measured 816k ESS/s vs 762k at 4096 on v5e, but the
+    axon backend kernel-faults INTERMITTENTLY (~1 in 2 runs) on the
+    larger program. Run it in an isolated subprocess so a fault (or a
+    wedged runtime) cannot take down the bench, and retry once; any
+    failure falls back to the reliable in-process 4096 run."""
+    import os
+    import subprocess
+    import sys
+
+    script = os.path.abspath(__file__)
+    for attempt in range(attempts):
+        try:
+            proc = subprocess.run(
+                [sys.executable, script, "--case", "8192"],
+                capture_output=True, text=True, timeout=timeout_s,
+                cwd=os.path.dirname(script),
+            )
+        except subprocess.TimeoutExpired:
+            continue
+        if proc.returncode != 0:
+            continue
+        for line in reversed(proc.stdout.strip().splitlines()):
+            try:
+                out = json.loads(line)
+            except json.JSONDecodeError:
+                continue
+            if "ess_per_sec" in out and out.get("rhat_max", np.inf) < 1.05:
+                return out
+            break
+    return None
 
 
 def bench_sampling():
     # headline: full-phase unimodal dataset, gated on convergence.
     # 3000 draws amortize the 700-step warmup; ESS/draw stays ~0.7 so
-    # the rank-normalized ESS is ~8.8M real effective samples per run.
-    # (8192 chains measured 816k ESS/s vs 762k at 4096, but the axon
-    # backend kernel-faults intermittently on the larger program —
-    # 4096 is the reliable configuration.)
-    model = build_model()
-    ess, rhat, dt = _run_case(model)
-    if not np.isfinite(rhat) or rhat > 1.05:
-        raise RuntimeError(f"bench sampling did not converge (rhat={rhat})")
-    return {"ess_per_sec": ess / dt, "rhat_max": rhat}
+    # the rank-normalized ESS is ~8.8M+ real effective samples per run.
+    out = _try_8192_subprocess()
+    if out is not None:
+        return out
+    return _headline_case(4096)
 
 
 def bench_partial_arc_pt():
     """Secondary fields: partial-arc ridge via variational PT, bounded
-    by an alarm so a backend stall can never eat the headline result
-    (which is already printed by the time this runs)."""
+    by per-stage alarms so a backend stall can never eat the headline
+    result (already printed by the time this runs). Stage 1 runs the
+    8-round configuration with a checkpoint; if its rhat misses the
+    1.05 gate, stage 2 resumes the SAME run (bit-identical continuation)
+    for a 9th, twice-as-long round — the measured rhat~1.04 config."""
+    import os
+    import tempfile
 
-    def _run():
-        ess_pa, rhat_pa, dt_pa = _run_partial_arc_pt()
+    cp = os.path.join(tempfile.gettempdir(), "bench_pa_checkpoint.npz")
+    t_start = time.perf_counter()
+
+    def _stage1():
+        ess_pa, rhat_pa, dt_pa = _run_partial_arc_pt(cp, n_rounds=8)
         return {
             "partial_arc_pt_ess_per_sec": ess_pa / dt_pa,
             "partial_arc_pt_rhat_max": rhat_pa,
+            "_ess": ess_pa,
         }
 
-    return _alarm_bounded(_run, 1200, "partial_arc_pt_error")
+    out = _alarm_bounded(_stage1, 680, "partial_arc_pt_error")
+    rhat1 = out.get("partial_arc_pt_rhat_max", np.inf)
+    if np.isfinite(rhat1) and rhat1 >= 1.05 and os.path.exists(cp):
+
+        def _stage2():
+            ess2, rhat2, _ = _run_partial_arc_pt(cp, n_rounds=9, resume=cp)
+            total = time.perf_counter() - t_start
+            return {
+                "partial_arc_pt_ess_per_sec": ess2 / total,
+                "partial_arc_pt_rhat_max": rhat2,
+                "partial_arc_pt_rounds": 9,
+            }
+
+        out2 = _alarm_bounded(_stage2, 520, "partial_arc_pt_stage2_error")
+        if "partial_arc_pt_rhat_max" in out2:
+            out.update(out2)
+    out.pop("_ess", None)
+    return out
 
 
 def bench_joint():
@@ -266,6 +343,14 @@ def bench_kepler():
 
 
 def main():
+    import sys
+
+    if len(sys.argv) >= 3 and sys.argv[1] == "--case":
+        # subprocess mode: one headline case, one JSON line
+        out = _headline_case(int(sys.argv[2]))
+        print(json.dumps(out), flush=True)
+        return
+
     try:
         res = bench_sampling()
         ess_per_sec = res["ess_per_sec"]
@@ -276,6 +361,8 @@ def main():
             "vs_baseline": ess_per_sec / BASELINE_ESS_PER_SEC,
             "rhat_max": res["rhat_max"],
         }
+        if "n_chains" in res:
+            payload["n_chains"] = res["n_chains"]
         # print the headline immediately — the phases below are slower,
         # and this line must survive even if the run is killed; each
         # subsequent phase re-prints the full record (consumers take

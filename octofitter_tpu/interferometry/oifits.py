@@ -100,13 +100,16 @@ def load_oifits(
     u = ut[:, None] / eff_wave[None, :]
     v = vt[:, None] / eff_wave[None, :]
 
+    # clamp ONLY when zero errors are present (reference
+    # `OctofitterInterferometry.jl:88-92` does this conditionally —
+    # an unconditional clamp would inflate real sub-degree errors)
     if np.any(cp_err == 0):
         warnings.warn(
             "Some closure phase errors are exactly 0; clamping "
             "uncertainties to at least 2 degrees (provide a "
             "sigma_cp_jitter variable when sampling to calibrate)."
         )
-    cp_err = np.maximum(2.0, cp_err)
+        cp_err = np.maximum(2.0, cp_err)
 
     mask = (wavelength_min_meters < eff_wave) & (eff_wave < wavelength_max_meters)
     if not mask.any():

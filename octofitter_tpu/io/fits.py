@@ -82,6 +82,45 @@ def _skip_data(f, header):
     f.seek((nbytes + _BLOCK - 1) // _BLOCK * _BLOCK, io.SEEK_CUR)
 
 
+_BITPIX_DTYPES = {8: ">u1", 16: ">i2", 32: ">i4", 64: ">i8",
+                  -32: ">f4", -64: ">f8"}
+
+
+def read_images(path):
+    """Read every image HDU (primary + IMAGE extensions) as a list of
+    2-D float64 numpy arrays, honoring BSCALE/BZERO and BLANK->NaN.
+    Used for the reference's multi-extension direct-imaging fixtures
+    (`docs/image-examples-1.fits`; `OctofitterImages` AstroImages.load)."""
+    out = []
+    with open(path, "rb") as f:
+        while True:
+            try:
+                h = _parse_header(f)
+            except Exception:
+                break
+            naxis = int(h.get("NAXIS", 0))
+            if naxis == 0:
+                continue
+            shape = [int(h[f"NAXIS{i}"]) for i in range(naxis, 0, -1)]
+            dtype = _BITPIX_DTYPES[int(h["BITPIX"])]
+            count = int(np.prod(shape))
+            nbytes = count * abs(int(h["BITPIX"])) // 8
+            raw = f.read(nbytes)
+            f.seek((-nbytes) % _BLOCK, 1)  # skip padding
+            data = np.frombuffer(raw, dtype=dtype, count=count).reshape(shape)
+            data = data.astype(np.float64)
+            if "BLANK" in h and int(h["BITPIX"]) > 0:
+                data[data == float(h["BLANK"])] = np.nan
+            data = data * float(h.get("BSCALE", 1.0)) + float(h.get("BZERO", 0.0))
+            if naxis == 2:
+                out.append(data)
+            elif naxis == 3:  # cube -> slices
+                out.extend(list(data))
+            else:
+                out.append(data)
+    return out
+
+
 def _parse_tform(tform: str):
     tform = tform.strip()
     i = 0

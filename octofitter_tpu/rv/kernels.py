@@ -92,18 +92,24 @@ class QuasiPeriodicKernel(Kernel):
         return self.eta1**2 * jnp.exp(decay + periodic)
 
 
-def gp_loglike(kernel, t, resid, var):
+def gp_loglike(kernel, t, resid, var, method="scan"):
     """log N(resid | 0, K(t,t) + diag(var)); branch-free and
     differentiable. Non-PSD proposals yield NaN which the model's
     -Inf gate absorbs (reference catches PosDefException instead,
     `rv-absolute.jl:229-239`).
 
-    Celerite terms dispatch to the O(N) scan solver; dense kernels use
-    a Cholesky factorization.
+    Celerite terms dispatch to the O(N) scan solver (or the
+    associative-scan parallel Kalman path with method="associative" —
+    see `celerite.celerite_loglike_assoc` for the measured tradeoff);
+    dense kernels use a Cholesky factorization.
     """
     from .celerite import CeleriteTerm, celerite_loglike
 
     if isinstance(kernel, CeleriteTerm):
+        if method == "associative":
+            from .celerite import celerite_loglike_assoc
+
+            return celerite_loglike_assoc(kernel, t, resid, var)
         return celerite_loglike(kernel, t, resid, var)
     K = kernel.matrix(t, t) + jnp.diag(var)
     L = jnp.linalg.cholesky(K)

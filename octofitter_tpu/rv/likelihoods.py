@@ -36,7 +36,7 @@ def _default_rv_variables():
 
 
 class _BaseRVObs(AbstractObs):
-    def __init__(self, observations, variables, name, trend_function, gaussian_process):
+    def __init__(self, observations, variables, name, trend_function, gaussian_process, gp_method="scan"):
         super().__init__(variables=variables, name=name)
         if isinstance(observations, dict):
             observations = {
@@ -46,6 +46,7 @@ class _BaseRVObs(AbstractObs):
         self.table = prepare_table(observations, (_RV_COLS,), type(self).__name__)
         self.trend_function = trend_function
         self.gaussian_process = gaussian_process
+        self.gp_method = gp_method
         self.held_out_table = None
 
     def _trend(self, theta_obs, epochs):
@@ -60,6 +61,7 @@ class _BaseRVObs(AbstractObs):
         new.table = table
         new.trend_function = self.trend_function
         new.gaussian_process = self.gaussian_process
+        new.gp_method = getattr(self, "gp_method", "scan")
         new.held_out_table = None
         return new
 
@@ -82,10 +84,12 @@ class StarAbsoluteRVObs(_BaseRVObs):
     """
 
     def __init__(self, observations, variables=None, *, name,
-                 trend_function=None, gaussian_process=None):
+                 trend_function=None, gaussian_process=None,
+                 gp_method="scan"):
         if variables is None:
             variables = _default_rv_variables()
-        super().__init__(observations, variables, name, trend_function, gaussian_process)
+        super().__init__(observations, variables, name, trend_function,
+                         gaussian_process, gp_method)
 
     def simulate(self, ctx: SystemObservationContext):
         epochs = jnp.asarray(self.table["epoch"])
@@ -117,7 +121,8 @@ class StarAbsoluteRVObs(_BaseRVObs):
         kernel = self.gaussian_process(theta_obs)
         epochs = jnp.asarray(self.table["epoch"])
         if self.held_out_table is None:
-            return gp_loglike(kernel, epochs, resid, var)
+            return gp_loglike(kernel, epochs, resid, var,
+                              method=getattr(self, "gp_method", "scan"))
         # cross-validation: condition on table, evaluate held-out
         # (`rv-absolute.jl:253-304`)
         from .kernels import gp_predict

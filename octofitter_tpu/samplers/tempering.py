@@ -683,7 +683,11 @@ def octofit_pigeons(
                 f"barrier {barrier:.2f}{extra}, round trips {n_round_trips}"
             )
 
-        if checkpoint is not None and not record:
+        # saved after EVERY round, including the final recording round,
+        # so a resumed run with a larger n_rounds continues directly
+        # with the next (longer) round — the bench's partial-arc
+        # escalation path relies on this
+        if checkpoint is not None:
             _pt_save_checkpoint(
                 checkpoint,
                 dict(

@@ -199,3 +199,89 @@ def test_rv_fit_recovers_mass():
     assert abs(pull) < 4, f"mass mean {mass.mean():.3f} pull {pull:.2f}"
     e = chain.flat("b_e")
     assert abs(e.mean() - TRUE_RV["e"]) < 0.3
+
+
+# ---------------------------------------------------------------------------
+def test_celerite_assoc_matches_scan():
+    """The associative-scan (parallel Kalman) celerite path
+    (`rv/celerite.py:celerite_loglike_assoc`) is exact: it matches the
+    sequential-scan factorization and the dense log-density, values and
+    gradients, for every supported term family."""
+    import scipy.stats as sps
+
+    from octofitter_tpu.rv.celerite import (
+        ComplexTerm,
+        RealTerm,
+        SHOTerm,
+        celerite_loglike,
+        celerite_loglike_assoc,
+    )
+
+    rng = np.random.default_rng(0)
+    n = 64
+    t = np.sort(rng.uniform(0, 100, n))
+    var = rng.uniform(0.5, 2.0, n)
+    y = rng.standard_normal(n)
+    tj, yj, vj = jnp.asarray(t), jnp.asarray(y), jnp.asarray(var)
+
+    terms = [
+        RealTerm(a=2.0, c=0.3),
+        SHOTerm(S0=1.5, w0=0.5, Q=2.0),
+        SHOTerm(S0=1.5, w0=0.5, Q=2.0) + RealTerm(a=1.0, c=0.1),
+        ComplexTerm(a=1.0, b=0.5, c=0.2, d=0.7),
+    ]
+    for term in terms:
+        K = np.asarray(term.matrix(tj, tj)) + np.diag(var)
+        ll_dense = sps.multivariate_normal(np.zeros(n), K).logpdf(y)
+        ll_scan = float(celerite_loglike(term, tj, yj, vj))
+        ll_assoc = float(celerite_loglike_assoc(term, tj, yj, vj))
+        assert abs(ll_scan - ll_dense) < 1e-7, term
+        assert abs(ll_assoc - ll_dense) < 1e-7, term
+
+    g_scan = jax.grad(
+        lambda s0: celerite_loglike(SHOTerm(S0=s0, w0=0.5, Q=2.0), tj, yj, vj)
+    )(1.5)
+    g_assoc = jax.grad(
+        lambda s0: celerite_loglike_assoc(SHOTerm(S0=s0, w0=0.5, Q=2.0), tj, yj, vj)
+    )(1.5)
+    assert abs(float(g_scan) - float(g_assoc)) < 1e-9
+
+
+def test_rv_gp_method_associative():
+    """gp_method='associative' on StarAbsoluteRVObs produces the same
+    posterior density as the default scan path."""
+    from octofitter_tpu.rv import SHOTerm, StarAbsoluteRVObs
+
+    rng = np.random.default_rng(1)
+    n = 40
+    epochs = np.sort(rng.uniform(58000, 59000, n))
+    rv = rng.standard_normal(n) * 5.0
+    models = []
+    for method in ("scan", "associative"):
+        obs = StarAbsoluteRVObs(
+            dict(epoch=epochs, rv=rv, σ_rv=np.full(n, 3.0)),
+            name="inst",
+            variables=dict(
+                offset=dist.Normal(0.0, 10.0),
+                jitter=dist.LogUniform(0.01, 10.0),
+                eta1=dist.LogUniform(0.1, 20.0),
+            ),
+            gaussian_process=lambda th: SHOTerm(
+                S0=th.eta1**2, w0=0.3, Q=2.0
+            ),
+            gp_method=method,
+        )
+        system = oc.System(
+            name=f"gp_{method}",
+            variables=dict(M=1.0, plx=50.0),
+            observations=[obs],
+            companions=[],
+        )
+        models.append(oc.LogDensityModel(system, verbosity=0))
+    m_scan, m_assoc = models
+    theta = m_scan.sample_priors(jax.random.PRNGKey(2))
+    lt = m_scan.link(theta)
+    np.testing.assert_allclose(
+        float(m_scan._ln_post_py(lt)), float(m_assoc._ln_post_py(lt)),
+        rtol=1e-10,
+    )
