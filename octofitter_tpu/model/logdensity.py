@@ -306,8 +306,13 @@ class LogDensityModel:
             groups = {}
             singles = []
             for i, (_, _, dist, _) in enumerate(self._prior_entries):
-                if _dc.is_dataclass(dist) and type(dist).__module__.endswith(
-                    "distributions"
+                # group only classes that are THEMSELVES dataclasses
+                # (not merely inheriting from one): stacking rebuilds
+                # instances from their fields, which breaks classes
+                # with custom __init__ state like KDEDist
+                if (
+                    "__dataclass_fields__" in type(dist).__dict__
+                    and type(dist).__module__.endswith("distributions")
                 ):
                     groups.setdefault(type(dist), []).append(i)
                 else:
