@@ -253,6 +253,28 @@ def octofit(
             max_leapfrog=min(2**max_depth, 1024),
         )
     else:
+        # known TPU-backend cliff: the iterative-NUTS program (nested
+        # while loops) kernel-faults on the axon backend above roughly
+        # 1024 chains x tree depth 10 (PARITY.md "Known gaps"). Warn
+        # before launching a shape in that envelope; ChEES (the
+        # default) is unaffected and faster.
+        try:
+            platform = jax.devices()[0].platform
+        except Exception:  # backend init failure: let run_nuts surface it
+            platform = ""
+        if (
+            platform not in ("cpu", "gpu")
+            and chains * (2 ** max_depth) > 1024 * (2 ** 10)
+            and verbosity >= 0
+        ):
+            print(
+                f"octofit warning: sampler='nuts' with {chains} chains x "
+                f"max_depth {max_depth} exceeds the known-stable envelope "
+                "on the TPU backend (~1024 chains x depth 10); the axon "
+                "runtime has kernel-faulted on larger NUTS programs. "
+                "Consider sampler='chees' (default, faster here) or "
+                "fewer chains / lower max_depth."
+            )
         samples, lps, stats, info = run_nuts(
             vg,
             theta0,

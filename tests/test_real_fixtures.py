@@ -106,16 +106,27 @@ def test_image_fixture_end_to_end_fit():
     flux = chain.flat("b_SPHERE_flux")
     assert flux.mean() / flux.std() > 3, (flux.mean(), flux.std())
 
-    # recovered positions vs the actual injected-planet pixels
+    # recovered positions: the posterior orbit must land on the
+    # injected companion's bright pixels at EVERY epoch. (Do not
+    # compare against the global brightest pixel: image 5 contains a
+    # speckle brighter than the companion at an orbit-incompatible
+    # location — the joint Keplerian fit is what disambiguates it.)
     idx = np.arange(0, len(chain.flat("b_a")), 997)
     orbits = construct_elements(model, chain, "b", idx)
     sols = jax.vmap(lambda o: orbitsolve(o, jnp.asarray(IMG_EPOCHS)))(orbits)
     px = np.median(-np.asarray(raoff(sols)), axis=0) / 10.0   # image x
     py = np.median(np.asarray(decoff(sols)), axis=0) / 10.0   # image y
-    peaks = _image_peaks(read_images(IMG_FIXTURE))
-    for k, (ex, ey) in enumerate(peaks):
-        d = np.hypot(px[k] - ex, py[k] - ey)
-        assert d < 4.0, (k, (px[k], py[k]), (ex, ey))
+    for k, im in enumerate(imgs):
+        ny, nx = im.shape
+        c = int(round(px[k] + (nx - 1) / 2))
+        r = int(round(py[k] + (ny - 1) / 2))
+        val = np.nanmax(im[r - 1:r + 2, c - 1:c + 2])
+        sigma = np.nanstd(im)
+        # measured: 5.0-5.9 at sigma ~0.55 (>= 9 sigma) at all epochs
+        assert val > 6 * sigma, (k, (px[k], py[k]), val, sigma)
+    # and the first-epoch position matches the unambiguous peak there
+    peaks = _image_peaks(imgs)
+    assert np.hypot(px[0] - peaks[0][0], py[0] - peaks[0][1]) < 3.0
 
 
 @needs_ref
