@@ -176,7 +176,7 @@ def _headline_case(n_chains):
             "n_chains": n_chains}
 
 
-def _try_8192_subprocess(attempts=2, timeout_s=900):
+def _try_8192_subprocess(attempts=2, timeout_s=1500):
     """8192 chains measured 816k ESS/s vs 762k at 4096 on v5e, but the
     axon backend kernel-faults INTERMITTENTLY (~1 in 2 runs) on the
     larger program. Run it in an isolated subprocess so a fault (or a
@@ -195,8 +195,16 @@ def _try_8192_subprocess(attempts=2, timeout_s=900):
                 cwd=os.path.dirname(script),
             )
         except subprocess.TimeoutExpired:
+            print(f"bench: 8192-chain attempt {attempt + 1} timed out",
+                  file=sys.stderr, flush=True)
             continue
         if proc.returncode != 0:
+            tail = (proc.stderr or "").strip().splitlines()[-3:]
+            print(
+                f"bench: 8192-chain attempt {attempt + 1} failed "
+                f"(rc={proc.returncode}): " + " | ".join(tail),
+                file=sys.stderr, flush=True,
+            )
             continue
         for line in reversed(proc.stdout.strip().splitlines()):
             try:
@@ -242,10 +250,11 @@ def bench_partial_arc_pt():
 
     out = _alarm_bounded(_stage1, 680, "partial_arc_pt_error")
     rhat1 = out.get("partial_arc_pt_rhat_max", np.inf)
-    if np.isfinite(rhat1) and rhat1 >= 1.05 and os.path.exists(cp):
+    cp_final = cp + ".final.npz"
+    if np.isfinite(rhat1) and rhat1 >= 1.05 and os.path.exists(cp_final):
 
         def _stage2():
-            ess2, rhat2, _ = _run_partial_arc_pt(cp, n_rounds=9, resume=cp)
+            ess2, rhat2, _ = _run_partial_arc_pt(cp, n_rounds=9, resume=cp_final)
             total = time.perf_counter() - t_start
             return {
                 "partial_arc_pt_ess_per_sec": ess2 / total,

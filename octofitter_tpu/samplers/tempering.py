@@ -544,6 +544,11 @@ def octofit_pigeons(
         q_active = st["q_active"]
         key = st["key"]
         start_round = st["next_round"]
+        if start_round >= n_rounds:
+            raise ValueError(
+                f"checkpoint has already completed {start_round} rounds; "
+                f"pass n_rounds > {start_round} to escalate the run"
+            )
         if verbosity >= 1:
             print(f"octofit_pigeons: resumed at round {start_round + 1}")
 
@@ -558,43 +563,54 @@ def octofit_pigeons(
         s_count = 0
         record = rnd == n_rounds - 1
         coeffs = jnp.asarray(_rung_coeffs(betas_fix, betas_var, q_active))
+        # In the recording round the explorer runs with FROZEN tuning
+        # (recorded samples must come from a fixed kernel) while the
+        # adaptation state continues updating in the background, so the
+        # "<checkpoint>.final.npz" continuation file is adapted through
+        # the record round too — escalating a finished run (bench
+        # partial-arc stage 2) then matches a straight longer run's
+        # adaptation budget instead of losing the last round's.
+        eps_run = eps
+        log_T_run = np.array(log_T)
 
         for s in range(n_sweeps):
             key, k_sweep = jax.random.split(key)
             even = (sweep_counter % 2) == 0
             u = jnp.asarray(halton[sweep_counter % len(halton)], theta.dtype)
             theta, accept, ll, accept_swap, idx, g_logT = sweep(
-                theta, k_sweep, coeffs, q_mean, q_log_std, eps, sigma_diag,
-                jnp.asarray(log_T, theta.dtype), u, even,
+                theta, k_sweep, coeffs, q_mean, q_log_std,
+                eps_run if record else eps, sigma_diag,
+                jnp.asarray(log_T_run if record else log_T, theta.dtype),
+                u, even,
                 jnp.asarray(q_active),
             )
             sweep_counter += 1
 
-            # explorer step-size adaptation per temperature (not in the
-            # final recording round)
+            # explorer step-size adaptation per temperature (frozen
+            # values drive the sweeps during the recording round; see
+            # above)
             acc_np = np.asarray(accept.mean(axis=0))
-            if not record:
-                new_eps = []
-                g_np = np.asarray(g_logT)
-                for i in range(NT):
-                    da_states[i] = da_update(
-                        da_states[i], jnp.asarray(acc_np[i]), target_accept
+            new_eps = []
+            g_np = np.asarray(g_logT)
+            for i in range(NT):
+                da_states[i] = da_update(
+                    da_states[i], jnp.asarray(acc_np[i]), target_accept
+                )
+                new_eps.append(np.exp(float(da_states[i].log_eps)))
+                if explorer == "chees":
+                    adam_states[i], dlt = _adam_step(
+                        adam_states[i], jnp.asarray(g_np[i]), adam_lr
                     )
-                    new_eps.append(np.exp(float(da_states[i].log_eps)))
-                    if explorer == "chees":
-                        adam_states[i], dlt = _adam_step(
-                            adam_states[i], jnp.asarray(g_np[i]), adam_lr
-                        )
-                        le = float(da_states[i].log_eps)
-                        log_T[i] = np.clip(
-                            log_T[i] + float(dlt),
-                            le, le + np.log(float(explorer_n_leapfrog)),
-                        )
-                eps = jnp.asarray(new_eps)
-                th_np = np.asarray(theta)  # (W, NT, D)
-                s1 += np.swapaxes(th_np, 0, 1).sum(axis=1)
-                s2 += np.swapaxes(th_np**2, 0, 1).sum(axis=1)
-                s_count += W
+                    le = float(da_states[i].log_eps)
+                    log_T[i] = np.clip(
+                        log_T[i] + float(dlt),
+                        le, le + np.log(float(explorer_n_leapfrog)),
+                    )
+            eps = jnp.asarray(new_eps)
+            th_np = np.asarray(theta)  # (W, NT, D)
+            s1 += np.swapaxes(th_np, 0, 1).sum(axis=1)
+            s2 += np.swapaxes(th_np**2, 0, 1).sum(axis=1)
+            s_count += W
 
             # swap statistics
             asw = np.asarray(accept_swap)
@@ -644,8 +660,16 @@ def octofit_pigeons(
             r_var = r[N:]
             lam_v = np.concatenate([[0.0], np.cumsum(r_var)])
             barrier_var = lam_v[-1]
-        if not record:
-            # Syed et al. schedule update per leg: equalize rejection
+        if record:
+            # the schedule the recording round actually sampled with —
+            # reported in info and used by the evidence estimator
+            betas_report = np.asarray(betas_fix).copy()
+            betas_var_report = np.asarray(betas_var).copy()
+        if True:
+            # Syed et al. schedule update per leg: equalize rejection.
+            # Runs after the record round too: it only affects the
+            # "<checkpoint>.final.npz" continuation state (escalation
+            # resumes then match a straight longer run's adaptation).
             targets = np.linspace(0, lam[-1], N)
             new_b = np.interp(targets, lam, betas_fix)
             new_b[0], new_b[-1] = 0.0, 1.0
@@ -683,11 +707,29 @@ def octofit_pigeons(
                 f"barrier {barrier:.2f}{extra}, round trips {n_round_trips}"
             )
 
-        # saved after EVERY round, including the final recording round,
-        # so a resumed run with a larger n_rounds continues directly
-        # with the next (longer) round — the bench's partial-arc
-        # escalation path relies on this
-        if checkpoint is not None:
+        # Interruption checkpoints are saved after every ADAPTING round:
+        # resuming one replays the remaining schedule bit-identically
+        # (test_checkpoint.py). The state after the final recording
+        # round (which performs no adaptation) goes to a separate
+        # "<checkpoint>.final.npz" continuation file — resume from it
+        # with a larger n_rounds to ESCALATE a finished run with one
+        # more (twice-as-long) recording round without redoing any
+        # sweeps; the bench's partial-arc stage-2 path uses this.
+        if checkpoint is not None and record:
+            _pt_save_checkpoint(
+                checkpoint + ".final.npz",
+                dict(
+                    theta=theta, betas=betas_fix, betas_var=betas_var,
+                    eps=eps,
+                    sigma_diag=sigma_diag, labels=labels,
+                    direction=direction, n_round_trips=n_round_trips,
+                    sweep_counter=sweep_counter, next_round=rnd + 1,
+                    da_states=da_states, log_T=log_T,
+                    adam_states=adam_states, q_mean=q_mean,
+                    q_log_std=q_log_std, q_active=q_active, key=key,
+                ),
+            )
+        if checkpoint is not None and not record:
             _pt_save_checkpoint(
                 checkpoint,
                 dict(
@@ -710,7 +752,7 @@ def octofit_pigeons(
     # not normalized against the prior
     # (`OctofitterPigeonsExt.jl:229-241` logevidence)
     lls = np.stack(ll_by_temp_final)          # (S, W, NT)
-    betas_np = np.asarray(betas_fix)
+    betas_np = betas_report
     dbeta = betas_np[1:] - betas_np[:-1]
     log_z = 0.0
     for i in range(N - 1):
@@ -759,7 +801,7 @@ def octofit_pigeons(
         "sampling_time_s": t_total,
     }
     if Nv:
-        info["betas_variational"] = np.asarray(betas_var)
+        info["betas_variational"] = betas_var_report
         info["global_barrier_variational"] = (
             float(barrier_var) if barrier_var is not None else np.nan
         )
