@@ -139,24 +139,28 @@ def _chain_ess_rhat(chain):
 
 
 _PA_KWARGS = dict(
-    n_chains=8, n_chains_variational=8, n_walkers=128,
+    n_chains=8, n_chains_variational=8, n_walkers=256,
     explorer="chees", explorer_n_leapfrog=512, verbosity=0,
 )
 
 
-def _run_partial_arc_pt(checkpoint_path, n_rounds=8, resume=None):
+def _build_partial_arc_model():
+    model = build_model(56800.0, 57400.0, name="bench_partial_arc")
+    model.initialize(jax.random.PRNGKey(0), verbosity=0)
+    return model
+
+
+def _run_partial_arc_pt(model, checkpoint_path, n_rounds=9, resume=None):
     """Hard-geometry secondary: the partial-arc (a,e,tp)-ridge dataset
     sampled with variational parallel tempering (chees explorer) — the
     production path for such posteriors (single-temperature chains
-    report rhat > 1.3 regardless of budget). Measured on v5e: rhat_max
-    ~1.08 after 8 rounds (~450 s), ~1.04 after 9 (~855 s total) —
-    the 9th round runs only via checkpoint resume when the alarm budget
-    allows. Returns (min rank-normalized ESS across params, max
+    report rhat > 1.3 regardless of budget). Measured on v5e with the
+    device-resident sweep (zero per-sweep host syncs): 9 rounds
+    (1022 sweeps, 256 walkers) in ~95 s at rhat_max ~1.040 and
+    ~90 ESS/s. Returns (min rank-normalized ESS across params, max
     rank-normalized split R-hat, seconds)."""
     from octofitter_tpu.samplers.tempering import octofit_pigeons
 
-    model = build_model(56800.0, 57400.0, name="bench_partial_arc")
-    model.initialize(jax.random.PRNGKey(0), verbosity=0)
     t0 = time.perf_counter()
     chain, info = octofit_pigeons(
         model, n_rounds=n_rounds, key=jax.random.PRNGKey(1),
@@ -230,42 +234,84 @@ def bench_sampling():
 def bench_partial_arc_pt():
     """Secondary fields: partial-arc ridge via variational PT, bounded
     by per-stage alarms so a backend stall can never eat the headline
-    result (already printed by the time this runs). Stage 1 runs the
-    8-round configuration with a checkpoint; if its rhat misses the
-    1.05 gate, stage 2 resumes the SAME run (bit-identical continuation)
-    for a 9th, twice-as-long round — the measured rhat~1.04 config."""
+    result (already printed by the time this runs). The model is built
+    and initialized ONCE (its own alarm); a 1-round warmup then fills
+    the compile cache (the sweep program is shape-identical across
+    rounds), so the timed stages start compile-warm. Stage 1 runs the
+    9-round configuration (measured rhat ~1.040 in ~95 s) with a round
+    checkpoint — a stage-1 timeout resumes from that checkpoint instead
+    of losing the run. If the 9-round rhat still misses the 1.05 gate,
+    stage 2 resumes the shadow-adapted ".final.npz" continuation for a
+    10th, twice-as-long round."""
     import os
     import tempfile
 
     cp = os.path.join(tempfile.gettempdir(), "bench_pa_checkpoint.npz")
+    cp_final = cp + ".final.npz"
+    for p in (cp, cp_final):  # stale files from a previous bench run
+        if os.path.exists(p):
+            os.remove(p)
+
+    box = {}
+
+    def _prep():
+        box["model"] = _build_partial_arc_model()
+        return {}
+
+    out = _alarm_bounded(_prep, 600, "partial_arc_pt_init_error")
+    if "model" not in box:
+        return out
+
+    def _warmup():
+        from octofitter_tpu.samplers.tempering import octofit_pigeons
+
+        octofit_pigeons(
+            box["model"], n_rounds=1, key=jax.random.PRNGKey(1),
+            **_PA_KWARGS,
+        )
+        return {}
+
+    _alarm_bounded(_warmup, 600, "partial_arc_pt_warmup_error")
+
     t_start = time.perf_counter()
 
-    def _stage1():
-        ess_pa, rhat_pa, dt_pa = _run_partial_arc_pt(cp, n_rounds=8)
+    def _stage1(resume=None):
+        ess_pa, rhat_pa, _ = _run_partial_arc_pt(
+            box["model"], cp, n_rounds=9, resume=resume
+        )
         return {
-            "partial_arc_pt_ess_per_sec": ess_pa / dt_pa,
+            "partial_arc_pt_ess_per_sec": ess_pa / (time.perf_counter() - t_start),
             "partial_arc_pt_rhat_max": rhat_pa,
-            "_ess": ess_pa,
+            "partial_arc_pt_rounds": 9,
         }
 
     out = _alarm_bounded(_stage1, 680, "partial_arc_pt_error")
+    if "partial_arc_pt_rhat_max" not in out and os.path.exists(cp):
+        # stage 1 timed out mid-run: finish the remaining rounds from
+        # the last round-boundary checkpoint rather than reporting
+        # nothing (bit-identical to the uninterrupted run)
+        out.update(
+            _alarm_bounded(
+                lambda: _stage1(resume=cp), 500, "partial_arc_pt_resume_error"
+            )
+        )
     rhat1 = out.get("partial_arc_pt_rhat_max", np.inf)
-    cp_final = cp + ".final.npz"
     if np.isfinite(rhat1) and rhat1 >= 1.05 and os.path.exists(cp_final):
 
         def _stage2():
-            ess2, rhat2, _ = _run_partial_arc_pt(cp, n_rounds=9, resume=cp_final)
+            ess2, rhat2, _ = _run_partial_arc_pt(
+                box["model"], cp, n_rounds=10, resume=cp_final
+            )
             total = time.perf_counter() - t_start
             return {
                 "partial_arc_pt_ess_per_sec": ess2 / total,
                 "partial_arc_pt_rhat_max": rhat2,
-                "partial_arc_pt_rounds": 9,
+                "partial_arc_pt_rounds": 10,
             }
 
-        out2 = _alarm_bounded(_stage2, 520, "partial_arc_pt_stage2_error")
+        out2 = _alarm_bounded(_stage2, 560, "partial_arc_pt_stage2_error")
         if "partial_arc_pt_rhat_max" in out2:
             out.update(out2)
-    out.pop("_ess", None)
     return out
 
 

@@ -37,7 +37,7 @@ from .nuts import (
 )
 
 
-def apply_deo_swap(theta, ll, accept_swap):
+def apply_deo_swap(theta, ll, accept_swap, labels=None):
     """Apply one deterministic-even-odd swap pass to the ladder.
 
     accept_swap is the per-pair accept mask (W, NT-1); active pairs
@@ -51,8 +51,10 @@ def apply_deo_swap(theta, ll, accept_swap):
     `tests/test_parallel.py:test_deo_swap_lowers_to_collective_permute`)
     where a gather would require an all-gather of the full ladder.
 
-    Returns (theta, ll, idx) with idx the applied permutation (for the
-    host-side replica-label bookkeeping).
+    Returns (theta, ll, idx) with idx the applied permutation; when a
+    replica-label array is passed, it is carried through the same
+    neighbor exchange and (theta, ll, idx, labels) is returned — the
+    on-device replacement for the former host-side label bookkeeping.
     """
     W, NT = ll.shape
     pad_f = jnp.zeros((W, 1), bool)
@@ -69,7 +71,13 @@ def apply_deo_swap(theta, ll, accept_swap):
     )
     base = jnp.arange(NT)[None, :]
     idx = jnp.where(swap_right, base + 1, jnp.where(swap_left, base - 1, base))
-    return theta, ll, idx
+    if labels is None:
+        return theta, ll, idx
+    labels = jnp.where(
+        swap_right, jnp.roll(labels, -1, axis=1),
+        jnp.where(swap_left, jnp.roll(labels, 1, axis=1), labels),
+    )
+    return theta, ll, idx, labels
 
 
 def _gauss_logpdf(theta_t, q_mean, q_log_std):
@@ -129,17 +137,16 @@ def _pt_save_checkpoint(path, state: dict):
     `OctofitterPigeonsExt.jl:81`, `docs/src/parallel-sampling.md:14`).
     Captures every loop-carried quantity, so a resumed run is
     bit-identical to an uninterrupted one."""
-    da = state["da_states"]
+    da = state["da"]  # DualAveragingState with stacked (NT,) leaves
     da_arr = np.stack(
-        [
-            np.asarray(
-                [d.log_eps, d.log_eps_avg, d.h_avg, d.mu, d.count], float
-            )
-            for d in da
-        ]
+        [np.asarray(leaf, float) for leaf in
+         (da.log_eps, da.log_eps_avg, da.h_avg, da.mu, da.count)],
+        axis=1,
     )
+    adam = state["adam"]  # AdamState with stacked (NT,) leaves
     adam_arr = np.stack(
-        [np.asarray([a.m, a.v, a.t], float) for a in state["adam_states"]]
+        [np.asarray(leaf, float) for leaf in (adam.m, adam.v, adam.t)],
+        axis=1,
     )
     np.savez(
         path,
@@ -168,24 +175,19 @@ def _pt_load_checkpoint(path):
     from .nuts import DualAveragingState
 
     z = np.load(path)
-    da_states = [
-        DualAveragingState(*(jnp.asarray(row[i]) for i in range(5)))
-        for row in z["da"]
-    ]
-    n_temps = len(da_states)
+    da_arr = np.asarray(z["da"])  # (NT, 5)
+    da = DualAveragingState(*(jnp.asarray(da_arr[:, i]) for i in range(5)))
+    n_temps = da_arr.shape[0]
     if "adam" in z.files:
-        adam_states = [
-            AdamState(*(jnp.asarray(row[i]) for i in range(3)))
-            for row in z["adam"]
-        ]
-        log_T = np.asarray(z["log_T"])
+        adam_arr = np.asarray(z["adam"])  # (NT, 3)
+        adam = AdamState(*(jnp.asarray(adam_arr[:, i]) for i in range(3)))
+        log_T = jnp.asarray(z["log_T"])
     else:  # pre-ChEES-explorer checkpoint
-        from .chees import _adam_init
-
-        adam_states = [_adam_init(jnp.float64) for _ in range(n_temps)]
+        zero = jnp.zeros((n_temps,))
+        adam = AdamState(zero, zero, zero)
         # derive the trajectory-length fallback from the checkpoint's
         # adapted per-rung step sizes, not the hard-coded initial eps
-        log_T = np.log(16.0 * np.asarray(z["eps"], dtype=float))
+        log_T = jnp.asarray(np.log(16.0 * np.asarray(z["eps"], dtype=float)))
     n_dim = z["theta"].shape[-1]
     return dict(
         theta=jnp.asarray(z["theta"]),
@@ -201,9 +203,9 @@ def _pt_load_checkpoint(path):
         n_round_trips=int(z["n_round_trips"]),
         sweep_counter=int(z["sweep_counter"]),
         next_round=int(z["next_round"]),
-        da_states=da_states,
+        da=da,
         log_T=log_T,
-        adam_states=adam_states,
+        adam=adam,
         q_mean=(
             jnp.asarray(z["q_mean"]) if "q_mean" in z.files
             else jnp.zeros((n_dim,))
@@ -450,18 +452,38 @@ def octofit_pigeons(
             [lp.reshape(shp), ll.reshape(shp), lq.reshape(shp)], axis=-1
         )  # (W, NT, 3)
 
-    @jax.jit
-    def sweep(theta, key, coeffs, qm, qls, eps, sigma_diag, log_T, u,
-              even_sweep, use_q_ref):
-        """Explore + IID-refresh the reference rung(s) + one DEO pass.
+    from .chees import _adam_step
 
-        Returns new theta, per-temp mean acceptance, loglikes, the
-        per-pair swap-accept mask (W, NT-1), and the per-temp ChEES
-        trajectory-length gradient (zeros for non-chees explorers).
+    adam_lr = 0.025
+
+    @jax.jit
+    def sweep_step(carry, coeffs, qm, qls, sigma_diag, u, even_sweep,
+                   use_q_ref, use_frozen, eps_frozen, log_T_frozen):
+        """One full PT sweep with ALL loop-carried state on device.
+
+        Explore + IID-refresh the reference rung(s) + one DEO pass,
+        plus everything the host loop used to do between sweeps —
+        per-rung dual-averaging/Adam adaptation, moment accumulation,
+        swap statistics, and replica-label round-trip accounting. On
+        the axon TPU backend the former host-side version cost ~1.6 s
+        of tunnel round-trips per sweep (~80 tiny device calls); this
+        single-dispatch form measures ~0.2 s/sweep and lets sweeps
+        pipeline (no per-sweep host sync outside recording rounds).
+
+        `use_frozen` selects the frozen explorer tuning recorded at the
+        start of a recording round (shadow adaptation continues in the
+        background so the ".final.npz" continuation state stays
+        adapted). Returns (carry', ll).
         """
-        k_exp, k_ref, k_refq, k_swap = jax.random.split(key, 4)
+        key, k_sweep = jax.random.split(carry["key"])
+        k_exp, k_ref, k_refq, k_swap = jax.random.split(k_sweep, 4)
+        theta = carry["theta"]
+        eps_used = jnp.where(use_frozen, eps_frozen,
+                             jnp.exp(carry["da"].log_eps))
+        log_T_used = jnp.where(use_frozen, log_T_frozen, carry["log_T"])
         theta, accept, g_logT = explorer_step(
-            theta, k_exp, coeffs, qm, qls, eps, sigma_diag, log_T, u
+            theta, k_exp, coeffs, qm, qls, eps_used, sigma_diag,
+            log_T_used, u
         )
 
         # regenerate the reference chains IID: rung 0 from the prior,
@@ -494,19 +516,66 @@ def octofit_pigeons(
         u_sw = jax.random.uniform(k_swap, (W, NT - 1))
         accept_swap = active[None, :] & (jnp.log(u_sw) < log_alpha)
 
-        theta, ll, idx = apply_deo_swap(theta, ll, accept_swap)
+        theta, ll, _, labels = apply_deo_swap(
+            theta, ll, accept_swap, labels=carry["labels"]
+        )
         if mesh is not None:
             theta = jax.lax.with_sharding_constraint(theta, _theta_sharding)
-        return theta, accept, ll, accept_swap, idx, g_logT
+            labels = jax.lax.with_sharding_constraint(
+                labels, _theta_sharding
+            )
+
+        # --- explorer adaptation, stacked over rungs (da_update and
+        # _adam_step are elementwise, so (NT,) leaves batch them) -----
+        acc_mean = accept.mean(axis=0)
+        da2 = da_update(carry["da"], acc_mean, target_accept)
+        adam2 = carry["adam"]
+        new_log_T = carry["log_T"]
+        if explorer == "chees":
+            adam2, dlt = _adam_step(carry["adam"], g_logT, adam_lr)
+            le = da2.log_eps
+            new_log_T = jnp.clip(
+                carry["log_T"] + dlt,
+                le, le + jnp.log(float(explorer_n_leapfrog)),
+            )
+
+        # --- per-round accumulators ----------------------------------
+        s1 = carry["s1"] + jnp.sum(theta, axis=0)            # (NT, D)
+        s2 = carry["s2"] + jnp.sum(theta * theta, axis=0)
+        active_f = active.astype(s1.dtype)
+        att = carry["att"] + active_f
+        rej = carry["rej"] + active_f * (
+            1.0 - jnp.mean(accept_swap.astype(s1.dtype), axis=0)
+        )
+
+        # --- index process: round-trip accounting (direction indexed
+        # by replica id; a replica completes a trip when it returns to
+        # the bottom rung while marked descending) --------------------
+        direction = carry["direction"]
+        rungs = jnp.arange(NT)[None, :]
+        at_top = labels[:, -1:] == rungs                     # (W, NT)
+        direction = jnp.where(at_top & (direction == 1), -1, direction)
+        at_bot = labels[:, 0:1] == rungs
+        completed = at_bot & (direction == -1)
+        trips = carry["trips"] + jnp.sum(completed)
+        direction = jnp.where(completed, 1, direction)
+
+        carry = dict(
+            theta=theta, key=key, da=da2, adam=adam2, log_T=new_log_T,
+            labels=labels, direction=direction, trips=trips,
+            s1=s1, s2=s2, att=att, rej=rej,
+        )
+        return carry, ll
 
     # ------------------------------------------------------------------
     t_start = time.perf_counter()
-    from .chees import _adam_init, _adam_step, halton_sequence
+    from .chees import AdamState, halton_sequence
 
-    da_states = [da_init(e) for e in np.asarray(eps)]
-    adam_states = [_adam_init(theta.dtype) for _ in range(NT)]
-    log_T = np.full(NT, float(np.log(16.0 * np.asarray(eps)[0])))
-    adam_lr = 0.025
+    da = da_init(jnp.asarray(eps))  # stacked (NT,) leaves
+    adam = AdamState(*(jnp.zeros((NT,), theta.dtype) for _ in range(3)))
+    log_T = jnp.full(
+        (NT,), float(np.log(16.0 * np.asarray(eps)[0])), theta.dtype
+    )
     # Halton jitter for the shared trajectory, indexed by the global
     # sweep counter so a resumed run is bit-identical
     halton = halton_sequence(2 ** (n_rounds + 1))
@@ -517,6 +586,7 @@ def octofit_pigeons(
     barrier_var = None
     sweep_counter = 0
     start_round = 0
+    n_round_trips = 0
 
     if resume is not None:
         st = _pt_load_checkpoint(resume)
@@ -530,15 +600,14 @@ def octofit_pigeons(
             theta = jax.device_put(theta, _theta_sharding)
         betas_fix = np.asarray(st["betas"])
         betas_var = np.asarray(st["betas_var"])
-        eps = st["eps"]
         sigma_diag = st["sigma_diag"]
         labels = st["labels"]
         direction = st["direction"]
         n_round_trips = st["n_round_trips"]
         sweep_counter = st["sweep_counter"]
-        da_states = st["da_states"]
-        log_T = st["log_T"]
-        adam_states = st["adam_states"]
+        da = st["da"]
+        log_T = jnp.asarray(st["log_T"], theta.dtype)
+        adam = st["adam"]
         q_mean = st["q_mean"]
         q_log_std = st["q_log_std"]
         q_active = st["q_active"]
@@ -552,17 +621,33 @@ def octofit_pigeons(
         if verbosity >= 1:
             print(f"octofit_pigeons: resumed at round {start_round + 1}")
 
+    # all loop-carried sweep state lives on device (see sweep_step)
+    carry = dict(
+        theta=theta, key=key, da=da, adam=adam, log_T=log_T,
+        labels=jnp.asarray(np.asarray(labels), jnp.int32),
+        direction=jnp.asarray(np.asarray(direction), jnp.int32),
+        trips=jnp.asarray(int(n_round_trips), jnp.int32),
+        s1=jnp.zeros((NT, D), theta.dtype),
+        s2=jnp.zeros((NT, D), theta.dtype),
+        att=jnp.zeros((NT - 1,), theta.dtype),
+        rej=jnp.zeros((NT - 1,), theta.dtype),
+    )
+    if _theta_sharding is not None:
+        carry["labels"] = jax.device_put(carry["labels"], _theta_sharding)
+        carry["direction"] = jax.device_put(
+            carry["direction"], _theta_sharding
+        )
+
     for rnd in range(start_round, n_rounds):
         n_sweeps = 2 ** (rnd + 1)
-        rej_round = np.zeros(NT - 1)
-        att_round = np.zeros(NT - 1)
-        # per-temp moment accumulators over (sweeps x walkers) for the
-        # explorer's diagonal metric
-        s1 = np.zeros((NT, D))
-        s2 = np.zeros((NT, D))
-        s_count = 0
         record = rnd == n_rounds - 1
         coeffs = jnp.asarray(_rung_coeffs(betas_fix, betas_var, q_active))
+        # reset the per-round accumulators (moments for the explorer
+        # metric, swap attempt/rejection counts)
+        carry["s1"] = jnp.zeros((NT, D), theta.dtype)
+        carry["s2"] = jnp.zeros((NT, D), theta.dtype)
+        carry["att"] = jnp.zeros((NT - 1,), theta.dtype)
+        carry["rej"] = jnp.zeros((NT - 1,), theta.dtype)
         # In the recording round the explorer runs with FROZEN tuning
         # (recorded samples must come from a fixed kernel) while the
         # adaptation state continues updating in the background, so the
@@ -570,83 +655,42 @@ def octofit_pigeons(
         # the record round too — escalating a finished run (bench
         # partial-arc stage 2) then matches a straight longer run's
         # adaptation budget instead of losing the last round's.
-        eps_run = eps
-        log_T_run = np.array(log_T)
+        eps_frozen = jnp.exp(carry["da"].log_eps)
+        log_T_frozen = carry["log_T"]
+        use_frozen = jnp.asarray(record)
 
         for s in range(n_sweeps):
-            key, k_sweep = jax.random.split(key)
             even = (sweep_counter % 2) == 0
             u = jnp.asarray(halton[sweep_counter % len(halton)], theta.dtype)
-            theta, accept, ll, accept_swap, idx, g_logT = sweep(
-                theta, k_sweep, coeffs, q_mean, q_log_std,
-                eps_run if record else eps, sigma_diag,
-                jnp.asarray(log_T_run if record else log_T, theta.dtype),
-                u, even,
-                jnp.asarray(q_active),
+            carry, ll = sweep_step(
+                carry, coeffs, q_mean, q_log_std, sigma_diag, u,
+                jnp.asarray(even), jnp.asarray(q_active),
+                use_frozen, eps_frozen, log_T_frozen,
             )
             sweep_counter += 1
-
-            # explorer step-size adaptation per temperature (frozen
-            # values drive the sweeps during the recording round; see
-            # above)
-            acc_np = np.asarray(accept.mean(axis=0))
-            new_eps = []
-            g_np = np.asarray(g_logT)
-            for i in range(NT):
-                da_states[i] = da_update(
-                    da_states[i], jnp.asarray(acc_np[i]), target_accept
-                )
-                new_eps.append(np.exp(float(da_states[i].log_eps)))
-                if explorer == "chees":
-                    adam_states[i], dlt = _adam_step(
-                        adam_states[i], jnp.asarray(g_np[i]), adam_lr
-                    )
-                    le = float(da_states[i].log_eps)
-                    log_T[i] = np.clip(
-                        log_T[i] + float(dlt),
-                        le, le + np.log(float(explorer_n_leapfrog)),
-                    )
-            eps = jnp.asarray(new_eps)
-            th_np = np.asarray(theta)  # (W, NT, D)
-            s1 += np.swapaxes(th_np, 0, 1).sum(axis=1)
-            s2 += np.swapaxes(th_np**2, 0, 1).sum(axis=1)
-            s_count += W
-
-            # swap statistics
-            asw = np.asarray(accept_swap)
-            active = np.zeros(NT - 1, bool)
-            active[(0 if even else 1)::2] = True
-            att_round[active] += 1
-            rej_round[active] += 1 - asw[:, active].mean(axis=0)
-
-            # index process on host: track round trips
-            idx_np = np.asarray(idx)
-            labels = np.take_along_axis(labels, idx_np, axis=1)
-            # replica at top going up completes half trip; count full trips
-            top = labels[:, -1]
-            bot = labels[:, 0]
-            for w in range(W):
-                if direction[w, top[w]] == 1:
-                    direction[w, top[w]] = -1
-                if direction[w, bot[w]] == -1:
-                    direction[w, bot[w]] = 1
-                    n_round_trips += 1
 
             if record:
                 # target rung(s): fixed-leg target at N-1, plus the
                 # variational leg's target at N when present
+                th = carry["theta"]
                 if Nv:
                     samples_final.append(
                         np.concatenate(
-                            [np.asarray(theta[:, N - 1, :]),
-                             np.asarray(theta[:, N, :])], axis=0
+                            [np.asarray(th[:, N - 1, :]),
+                             np.asarray(th[:, N, :])], axis=0
                         )
                     )
                 else:
-                    samples_final.append(np.asarray(theta[:, N - 1, :]))
+                    samples_final.append(np.asarray(th[:, N - 1, :]))
                 ll_by_temp_final.append(np.asarray(ll))
 
-        # ---- between rounds: adapt schedule + explorer metric --------
+        # ---- between rounds: pull the round's accumulators once, then
+        # adapt schedule + explorer metric on host ---------------------
+        s1 = np.asarray(carry["s1"])
+        s2 = np.asarray(carry["s2"])
+        att_round = np.asarray(carry["att"])
+        rej_round = np.asarray(carry["rej"])
+        s_count = n_sweeps * W
         with np.errstate(invalid="ignore"):
             r = np.where(att_round > 0, rej_round / np.maximum(att_round, 1), 0.0)
         r = np.clip(r, 1e-4, 1 - 1e-4)
@@ -684,8 +728,14 @@ def octofit_pigeons(
                 betas_var = np.sort(new_v)[::-1].copy()
             # metric per temperature from (sweeps x walkers) spread
             if s_count > 4:
-                mean = s1 / s_count
-                var = s2 / s_count - mean**2
+                with np.errstate(invalid="ignore", over="ignore"):
+                    mean = s1 / s_count
+                    var = s2 / s_count - mean**2
+                # extreme unconstrained prior draws on the reference
+                # rung can overflow the moment accumulators; fall back
+                # to a unit-ish metric there instead of poisoning the
+                # explorer with NaN scales
+                var = np.nan_to_num(var, nan=1.0, posinf=1e6, neginf=1.0)
                 var = np.clip(var, 1e-6, None)
                 shrink = s_count / (s_count + 5.0)
                 sigma_diag = jnp.asarray(shrink * var + 1e-3 * (1 - shrink))
@@ -704,7 +754,8 @@ def octofit_pigeons(
             extra = f", var barrier {barrier_var:.2f}" if Nv and barrier_var is not None else ""
             print(
                 f"PT round {rnd + 1}/{n_rounds}: {n_sweeps} sweeps, "
-                f"barrier {barrier:.2f}{extra}, round trips {n_round_trips}"
+                f"barrier {barrier:.2f}{extra}, "
+                f"round trips {int(np.asarray(carry['trips']))}"
             )
 
         # Interruption checkpoints are saved after every ADAPTING round:
@@ -715,32 +766,22 @@ def octofit_pigeons(
         # with a larger n_rounds to ESCALATE a finished run with one
         # more (twice-as-long) recording round without redoing any
         # sweeps; the bench's partial-arc stage-2 path uses this.
-        if checkpoint is not None and record:
+        if checkpoint is not None:
             _pt_save_checkpoint(
-                checkpoint + ".final.npz",
+                checkpoint + ".final.npz" if record else checkpoint,
                 dict(
-                    theta=theta, betas=betas_fix, betas_var=betas_var,
-                    eps=eps,
-                    sigma_diag=sigma_diag, labels=labels,
-                    direction=direction, n_round_trips=n_round_trips,
+                    theta=carry["theta"], betas=betas_fix,
+                    betas_var=betas_var,
+                    eps=np.exp(np.asarray(carry["da"].log_eps)),
+                    sigma_diag=sigma_diag,
+                    labels=np.asarray(carry["labels"]),
+                    direction=np.asarray(carry["direction"]),
+                    n_round_trips=int(np.asarray(carry["trips"])),
                     sweep_counter=sweep_counter, next_round=rnd + 1,
-                    da_states=da_states, log_T=log_T,
-                    adam_states=adam_states, q_mean=q_mean,
-                    q_log_std=q_log_std, q_active=q_active, key=key,
-                ),
-            )
-        if checkpoint is not None and not record:
-            _pt_save_checkpoint(
-                checkpoint,
-                dict(
-                    theta=theta, betas=betas_fix, betas_var=betas_var,
-                    eps=eps,
-                    sigma_diag=sigma_diag, labels=labels,
-                    direction=direction, n_round_trips=n_round_trips,
-                    sweep_counter=sweep_counter, next_round=rnd + 1,
-                    da_states=da_states, log_T=log_T,
-                    adam_states=adam_states, q_mean=q_mean,
-                    q_log_std=q_log_std, q_active=q_active, key=key,
+                    da=carry["da"], log_T=np.asarray(carry["log_T"]),
+                    adam=carry["adam"], q_mean=q_mean,
+                    q_log_std=q_log_std, q_active=q_active,
+                    key=carry["key"],
                 ),
             )
 
@@ -788,14 +829,15 @@ def octofit_pigeons(
         "loglike": np.asarray(ll).reshape(Wn, S),
         "logpost": np.asarray(lp + ll).reshape(Wn, S),
     }
+    n_round_trips = int(np.asarray(carry["trips"]))
     info = {
         "sampler": "pt_deo",
         "explorer": explorer,
-        "trajectory_length": np.exp(log_T),
+        "trajectory_length": np.exp(np.asarray(carry["log_T"])),
         "model_name": model.system.name,
         "logevidence": float(log_z),
         "global_barrier": float(barrier),
-        "n_round_trips": int(n_round_trips),
+        "n_round_trips": n_round_trips,
         "betas": betas_np,
         "swap_rejection": rejection,
         "sampling_time_s": t_total,
