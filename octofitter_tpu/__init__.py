@@ -80,7 +80,20 @@ from .config import OctofitterConfig, get_config, set_config
 from . import datadeps
 from . import utils
 from . import plots
-from .interferometry import InterferometryObs, InterferometryLikelihood
+from .interferometry import (
+    InterferometryObs,
+    InterferometryLikelihood,
+    GRAVITYWideKPObs,
+    GRAVITYWideKPLikelihood,
+)
+from .rv import (
+    StarAbsoluteRVObs,
+    StarAbsoluteRVLikelihood,
+    MarginalizedStarAbsoluteRVObs,
+    MarginalizedStarAbsoluteRVLikelihood,
+    PlanetRelativeRVObs,
+    PlanetRelativeRVLikelihood,
+)
 from .atmosphere import (
     sonora_photometry_interpolator,
     sonora_cooling_interpolator,

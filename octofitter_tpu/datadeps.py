@@ -166,5 +166,73 @@ def resolve_dataset(name: str, path: str | None = None) -> str:
     )
 
 
+def fetch_dataset(
+    name: str,
+    *,
+    url: str | None = None,
+    filename: str | None = None,
+    sha256: str | None = None,
+    force: bool = False,
+) -> str:
+    """Download a registered dataset into `data_dir()` and return its
+    local path — the DataDeps `download` step
+    (`/root/reference/src/Octofitter.jl:166-343`).
+
+    Already-staged files are returned without re-downloading (unless
+    `force`). The transfer goes to a temp file first and is renamed
+    into place only after the optional `sha256` verifies, so an
+    interrupted download can never leave a corrupt cache entry.
+    `url` overrides the registered provenance URL (useful for mirrors;
+    `file://` URLs work, which is how the offline test suite exercises
+    this path).
+    """
+    import hashlib
+    import shutil
+    import tempfile
+    import urllib.request
+
+    if name not in REGISTRY:
+        raise KeyError(
+            f"unknown dataset {name!r}; registered: {sorted(REGISTRY)}"
+        )
+    ds = REGISTRY[name]
+    if not force:
+        try:
+            return resolve_dataset(name)
+        except FileNotFoundError:
+            pass
+    src = url or ds.url
+    if "://" not in src:
+        raise ValueError(
+            f"dataset {name!r} has no fetchable URL ({src!r}); stage the "
+            f"file manually under {data_dir()}"
+        )
+    fn = filename or next(
+        (f for f in ds.filenames if "*" not in f), ds.filenames[0]
+    )
+    root = data_dir()
+    os.makedirs(root, exist_ok=True)
+    dest = os.path.join(root, fn)
+    fd, tmp = tempfile.mkstemp(dir=root, prefix=f".{fn}.part-")
+    try:
+        with os.fdopen(fd, "wb") as out, urllib.request.urlopen(src) as resp:
+            shutil.copyfileobj(resp, out)
+        if sha256 is not None:
+            h = hashlib.sha256()
+            with open(tmp, "rb") as f:
+                for block in iter(lambda: f.read(1 << 20), b""):
+                    h.update(block)
+            if h.hexdigest() != sha256:
+                raise IOError(
+                    f"dataset {name!r}: checksum mismatch "
+                    f"(got {h.hexdigest()}, want {sha256})"
+                )
+        os.replace(tmp, dest)
+    finally:
+        if os.path.exists(tmp):
+            os.remove(tmp)
+    return dest
+
+
 def list_datasets() -> list[Dataset]:
     return [REGISTRY[k] for k in sorted(REGISTRY)]

@@ -46,9 +46,13 @@ def _sample_orbits(model, chain, planet_name, n_draws=100, rng=None):
 
 
 @_savable
-def astromplot(model, chain, ax=None, planet_name=None, n_draws=50):
+def astromplot(model, chain, ax=None, planet_name=None, n_draws=50,
+               mark_epochs_mjd=None, verbosity=1):
     """Sky-plane orbit plot with astrometry data
-    (`astromplot.jl`)."""
+    (`astromplot.jl`). `mark_epochs_mjd` scatters the posterior's
+    predicted companion position at each given epoch and prints a
+    sep/PA summary, like the reference's octoplot kwarg
+    (`octoplot.jl:35`, used in `docs/src/faq.md`)."""
     if ax is None:
         _, ax = plt.subplots(figsize=(6, 6))
     planet = (
@@ -65,6 +69,26 @@ def astromplot(model, chain, ax=None, planet_name=None, n_draws=50):
         sol = orbitsolve(orbit, ts)
         ax.plot(np.asarray(raoff(sol)), np.asarray(decoff(sol)),
                 color="C0", alpha=0.08, lw=0.8)
+    if mark_epochs_mjd is not None:
+        for k, t_mark in enumerate(np.atleast_1d(mark_epochs_mjd)):
+            ras, decs = [], []
+            for orbit in orbits:
+                sol = orbitsolve(orbit, jnp.asarray([float(t_mark)]))
+                ras.append(float(raoff(sol)[0]))
+                decs.append(float(decoff(sol)[0]))
+            ras, decs = np.asarray(ras), np.asarray(decs)
+            color = f"C{(k % 8) + 1}"
+            ax.scatter(ras, decs, s=10, color=color, zorder=7,
+                       label=f"MJD {t_mark:.1f}")
+            if verbosity >= 1:
+                sep = np.hypot(ras, decs)
+                pa = np.degrees(np.arctan2(ras, decs)) % 360.0
+                print(
+                    f"epoch MJD {t_mark:.1f}: "
+                    f"sep = {sep.mean():.1f} ± {sep.std():.1f} mas, "
+                    f"PA = {pa.mean():.1f} ± {pa.std():.1f} deg"
+                )
+        ax.legend(loc="best", fontsize=8)
     for obs in planet.observations:
         if isinstance(obs, PlanetRelAstromObs):
             t = obs.table
@@ -150,10 +174,14 @@ def octoplot(
     show_mass=False,
     show_hipparcos=None,
     show_gaia=None,
+    mark_epochs_mjd=None,
 ):
     """Multi-panel summary figure (`octoplot.jl:35-110`): the panel set
     adapts to the data types present in the model (None = auto), like
-    the reference's 9-panel composite. Flags force panels on/off."""
+    the reference's 9-panel composite. Flags force panels on/off.
+    `mark_epochs_mjd` marks predicted positions at the given epochs on
+    the sky-plane panel and prints a sep/PA summary (`octoplot.jl:35`,
+    `docs/src/faq.md` workflow)."""
     from ..astrom.g23h import G23HObs
     from ..astrom.gaia_dr4 import GaiaDR4AstromObs
     from ..astrom.hipparcos import HipparcosIADObs
@@ -199,7 +227,8 @@ def octoplot(
     jobs = []
     if show_astrom:
         jobs.append((2, lambda sub: astromplot(
-            model, chain, ax=sub.subplots(), n_draws=n_draws)))
+            model, chain, ax=sub.subplots(), n_draws=n_draws,
+            mark_epochs_mjd=mark_epochs_mjd)))
     if show_physical_orbit:
         jobs.append((2, lambda sub: panels.physorbitplot(
             model, chain, ax=sub.subplots(), n_draws=n_draws)))

@@ -106,11 +106,16 @@ def test_earth_ephemeris_accuracy_bound():
     want = np.array([-0.1771, 0.8875, 0.3848])
     assert np.abs(got - want).max() < 1.5e-2
 
-    # radius stays within Earth's perihelion/aphelion over a full orbit
+    # heliocentric radius stays within Earth's perihelion/aphelion over
+    # a full orbit (earth_position_au is BARYCENTRIC — the Sun's ~5e-3
+    # AU barycentric wobble must be removed before this geometric gate)
+    from octofitter_tpu.astrom.vsop87 import sun_barycentric_xyz
+
     mjd = np.linspace(51544.5, 51544.5 + 366, 500)
     p = earth_position_au(mjd)
-    r = np.sqrt(p["x"] ** 2 + p["y"] ** 2 + p["z"] ** 2)
-    assert r.min() > 0.981 and r.max() < 1.018
+    sx, sy, sz = sun_barycentric_xyz(mjd)
+    r = np.sqrt((p["x"] - sx) ** 2 + (p["y"] - sy) ** 2 + (p["z"] - sz) ** 2)
+    assert r.min() > 0.982 and r.max() < 1.018
 
     # 2019 March equinox (MJD 58562.4): Sun at RA~0 -> Earth x ~ -1 AU
     p = earth_position_au(58562.4)

@@ -20,6 +20,19 @@ PAGES = [
     "custom-likelihood.md",
     "data-simulation.md",
     "post-pred.md",
+    "thiele-innes.md",
+    "images.md",
+    "interferometry.md",
+    "transits.md",
+    "mass-photometry.md",
+    "limits-completeness.md",
+    "sbc.md",
+    "cross-validation.md",
+    "model-comparison.md",
+    "faq.md",
+    "migration.md",
+    "extract-phot-astrom.md",
+    "api.md",
 ]
 
 _BLOCK_RE = re.compile(r"```python\n(.*?)```", re.DOTALL)

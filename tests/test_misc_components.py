@@ -456,3 +456,49 @@ def test_dataset_registry(tmp_path, monkeypatch):
     assert "perso.ens-lyon.fr" in str(ei.value)
     with _p.raises(KeyError):
         datadeps.resolve_dataset("nope")
+
+
+def test_dataset_fetch(tmp_path, monkeypatch):
+    """The downloader path (DataDeps `download` step): fetch over a
+    file:// URL into the data root, atomic rename, checksum gate,
+    cache hit on the second call."""
+    import hashlib
+
+    from octofitter_tpu import datadeps
+
+    src = tmp_path / "upstream" / "HGCA_vEDR3.fits"
+    src.parent.mkdir()
+    payload = b"hgca-bytes" * 100
+    src.write_bytes(payload)
+    url = "file://" + str(src)
+
+    root = tmp_path / "data"
+    monkeypatch.setenv("OCTOFITTER_DATA_DIR", str(root))
+
+    # checksum mismatch: nothing lands in the cache
+    import pytest as _p
+    with _p.raises(IOError):
+        datadeps.fetch_dataset("HGCA_eDR3", url=url, sha256="0" * 64)
+    assert not (root / "HGCA_vEDR3.fits").exists()
+    assert not list(root.glob(".*part*"))  # temp file cleaned up
+
+    # good checksum: file lands under data_dir and resolves
+    sha = hashlib.sha256(payload).hexdigest()
+    p = datadeps.fetch_dataset("HGCA_eDR3", url=url, sha256=sha)
+    assert p == str(root / "HGCA_vEDR3.fits")
+    assert open(p, "rb").read() == payload
+    assert datadeps.resolve_dataset("HGCA_eDR3") == p
+
+    # second call is a cache hit: no re-download (delete the source)
+    src.unlink()
+    assert datadeps.fetch_dataset("HGCA_eDR3", url=url) == p
+
+    # force re-download against a dead source raises but keeps cache
+    with _p.raises(Exception):
+        datadeps.fetch_dataset("HGCA_eDR3", url=url, force=True)
+    assert open(p, "rb").read() == payload
+
+    # datasets without a fetchable URL give staging instructions
+    with _p.raises(ValueError) as ei:
+        datadeps.fetch_dataset("G23H_catalog", force=True)
+    assert "stage" in str(ei.value)
