@@ -31,6 +31,19 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+# Persistent compilation cache (measured working on the axon backend:
+# re-run of an identical program 3.09s -> 0.77s). Compiles go through a
+# slow remote service, so caching matters: entries persist as each XLA
+# compile finishes, meaning even a timed-out 8192-chain subprocess
+# attempt seeds the cache for its retry.
+try:
+    jax.config.update(
+        "jax_compilation_cache_dir", "/tmp/octofitter_jax_cache"
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:
+    pass
+
 BASELINE_ESS_PER_SEC = 200.0
 BASELINE_SOLVES_PER_SEC = 1.0 / 47e-9
 
@@ -180,12 +193,15 @@ def _headline_case(n_chains):
             "n_chains": n_chains}
 
 
-def _try_8192_subprocess(attempts=2, timeout_s=1500):
+def _try_8192_subprocess(attempts=2, timeout_s=1200):
     """8192 chains measured 816k ESS/s vs 762k at 4096 on v5e, but the
     axon backend kernel-faults INTERMITTENTLY (~1 in 2 runs) on the
-    larger program. Run it in an isolated subprocess so a fault (or a
-    wedged runtime) cannot take down the bench, and retry once; any
-    failure falls back to the reliable in-process 4096 run."""
+    larger program, and on a slow remote-compile day the whole attempt
+    can time out. Run it in an isolated subprocess so a fault (or a
+    wedged runtime) cannot take down the bench; this runs LAST, after
+    every gated metric has printed, so a failure here costs only its
+    own budget. A timed-out attempt still seeds the persistent
+    compilation cache, so the retry starts compile-warm."""
     import os
     import subprocess
     import sys
@@ -225,9 +241,8 @@ def bench_sampling():
     # headline: full-phase unimodal dataset, gated on convergence.
     # 3000 draws amortize the 700-step warmup; ESS/draw stays ~0.7 so
     # the rank-normalized ESS is ~8.8M+ real effective samples per run.
-    out = _try_8192_subprocess()
-    if out is not None:
-        return out
+    # The reliable 4096 configuration runs FIRST so the headline is
+    # guaranteed; the caller then attempts the 8192 upgrade.
     return _headline_case(4096)
 
 
@@ -424,11 +439,22 @@ def main():
         # the last complete JSON line)
         print(json.dumps(payload), flush=True)
         payload.update(
-            _alarm_bounded(bench_joint, 900, "joint_astrom_pma_rv_error")
+            _alarm_bounded(bench_joint, 1200, "joint_astrom_pma_rv_error")
         )
         print(json.dumps(payload), flush=True)
         payload.update(bench_partial_arc_pt())
         print(json.dumps(payload), flush=True)
+        # LAST: the 8192-chain headline upgrade. Pure upside on a metric
+        # already printed — a timeout or kernel fault here can no longer
+        # cost any other phase its budget.
+        up = _try_8192_subprocess()
+        if up is not None and up["ess_per_sec"] > ess_per_sec:
+            payload.update(
+                value=up["ess_per_sec"],
+                vs_baseline=up["ess_per_sec"] / BASELINE_ESS_PER_SEC,
+                rhat_max=up["rhat_max"], n_chains=up["n_chains"],
+            )
+            print(json.dumps(payload), flush=True)
     except Exception:
         solves = bench_kepler()
         print(

@@ -9,6 +9,7 @@ vectorized samplers that map onto TPU meshes.
 
 from . import constants
 from . import distributions
+from .distributions import Sine, UniformImproper, KDEDist
 from . import bijectors
 from . import orbits
 from .constants import mjd, mjd2jd, jd2mjd, years2mjd, mjd2years
@@ -35,6 +36,7 @@ from .model import (
     construct_elements,
     mcmcchain2result,
     generate_from_params,
+    likelihoodname,
 )
 from .nss import (
     query_nss,
