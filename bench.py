@@ -441,6 +441,16 @@ def main():
         payload.update(
             _alarm_bounded(bench_joint, 1200, "joint_astrom_pma_rv_error")
         )
+        if "joint_astrom_pma_rv_ess_per_sec" not in payload:
+            # On a slow remote-compile day the joint model's programs
+            # can exceed one budget. Every program that finished
+            # compiling persisted to the compilation cache, so a retry
+            # resumes compile progress instead of starting over.
+            payload.update(
+                _alarm_bounded(bench_joint, 1200, "joint_astrom_pma_rv_error")
+            )
+            if "joint_astrom_pma_rv_ess_per_sec" in payload:
+                payload.pop("joint_astrom_pma_rv_error", None)
         print(json.dumps(payload), flush=True)
         payload.update(bench_partial_arc_pt())
         print(json.dumps(payload), flush=True)
