@@ -106,7 +106,53 @@ from .images import ImageObs, LogLikelihoodMapObs
 from .transits import LightCurveObs
 from . import io as octo_io
 from .io import savechain, loadchain
+from .io.orbitize import (
+    loadhdf5,
+    savehdf5,
+    Whereistheplanet_search,
+    Whereistheplanet_astrom,
+)
 from .samplers import octofit, octofit_rejection, octofit_pigeons, octofit_nested
+from .samplers.nested import dysample
 from .chains import Chains, ess_rhat
+from .analysis.crossvalidation import (
+    prior_only_model,
+    pointwise_like,
+    generate_kfold_systems,
+    psis_loo,
+)
+from .analysis.completeness import (
+    CompletenessJob,
+    CompletenessResult,
+    CompletenessMap,
+    completeness_jobs,
+    run_completeness_trial,
+    assemble_completeness,
+    completeness_map,
+)
+from .rv.data_sources import (
+    HARPS_RVBank_rvs,
+    HARPS_DR1_rvs,
+    HIRES_rvs,
+    Lick_rvs,
+    CES_lc_rvs,
+    CES_vlc_rvs,
+    radvel_posterior,
+)
+
+
+def drawfrompriors(model, key):
+    """Draw a structured parameter set from the model priors (reference
+    `drawfrompriors`, src/variables.jl:1507) — thin delegate to
+    `LogDensityModel.drawfrompriors`."""
+    return model.drawfrompriors(key)
+
+
+def sample_priors(model, key, n=None):
+    """Sample flat prior vectors (reference `sample_priors`,
+    src/sampling.jl:6) — thin delegate to
+    `LogDensityModel.sample_priors`."""
+    return model.sample_priors(key, n)
+
 
 __version__ = "0.1.0"
