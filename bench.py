@@ -316,6 +316,9 @@ def bench_partial_arc_pt():
                 lambda: _stage1(resume=cp), 500, "partial_arc_pt_resume_error"
             )
         )
+        if "partial_arc_pt_rhat_max" in out:
+            out.pop("partial_arc_pt_error", None)
+            out.pop("partial_arc_pt_resume_error", None)
     rhat1 = out.get("partial_arc_pt_rhat_max", np.inf)
     if np.isfinite(rhat1) and rhat1 >= 1.05 and os.path.exists(cp_final):
 

@@ -78,7 +78,23 @@ def geocentre_position_query(mjd, earth_table=None, observer="earth",
     API parity).
     """
     if earth_table is not None:
-        return earth_position_from_table(mjd, earth_table)
+        pos = earth_position_from_table(mjd, earth_table)
+        if with_velocity:
+            if all(k in earth_table for k in ("vx", "vy", "vz")):
+                mjd_arr = np.asarray(mjd, dtype=np.float64)
+                ep = np.asarray(earth_table["epoch"], dtype=np.float64)
+                for k in ("vx", "vy", "vz"):
+                    pos[k] = np.interp(
+                        mjd_arr, ep, np.asarray(earth_table[k], dtype=np.float64)
+                    )
+            else:
+                # central finite difference of the interpolated table
+                h = 0.5  # days
+                lo = earth_position_from_table(np.asarray(mjd) - h, earth_table)
+                hi = earth_position_from_table(np.asarray(mjd) + h, earth_table)
+                for k in ("x", "y", "z"):
+                    pos["v" + k] = (hi[k] - lo[k]) / (2 * h)
+        return pos
     if observer == "gaia":
         pos = gaia_position_au(mjd)
     else:

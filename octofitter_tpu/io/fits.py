@@ -98,6 +98,12 @@ def read_images(path):
                 h = _parse_header(f)
             except Exception:
                 break
+            xtension = str(h.get("XTENSION", "")).strip()
+            if xtension and not xtension.startswith("IMAGE"):
+                # table/other extension: consume its data area (incl.
+                # PCOUNT heap) so the next header parse stays aligned
+                _skip_data(f, h)
+                continue
             naxis = int(h.get("NAXIS", 0))
             if naxis == 0:
                 continue

@@ -82,11 +82,19 @@ def astromplot(model, chain, ax=None, planet_name=None, n_draws=50,
                        label=f"MJD {t_mark:.1f}")
             if verbosity >= 1:
                 sep = np.hypot(ras, decs)
-                pa = np.degrees(np.arctan2(ras, decs)) % 360.0
+                # circular PA statistics: linear mean/std on an angle
+                # wrapped to [0, 360) is wrong near the north-crossing
+                pa = np.arctan2(ras, decs)
+                pa_mean = np.degrees(
+                    np.arctan2(np.mean(np.sin(pa)), np.mean(np.cos(pa)))
+                ) % 360.0
+                dev = np.degrees(
+                    np.angle(np.exp(1j * (pa - np.radians(pa_mean))))
+                )
                 print(
                     f"epoch MJD {t_mark:.1f}: "
                     f"sep = {sep.mean():.1f} ± {sep.std():.1f} mas, "
-                    f"PA = {pa.mean():.1f} ± {pa.std():.1f} deg"
+                    f"PA = {pa_mean:.1f} ± {dev.std():.1f} deg"
                 )
         ax.legend(loc="best", fontsize=8)
     for obs in planet.observations:

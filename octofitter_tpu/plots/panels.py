@@ -533,7 +533,7 @@ def gaiastarplot(model, chain, ax=None, sample_idx=None):
 
 
 @_savable
-def completenessplot(cmap, ax=None, levels=(0.5, 0.9), fname=None):
+def completenessplot(cmap, ax=None, levels=(0.5, 0.9)):
     """Completeness map heat map + contours (`completenessplot.jl`).
 
     cmap: analysis.completeness.CompletenessMap.
@@ -552,6 +552,4 @@ def completenessplot(cmap, ax=None, levels=(0.5, 0.9), fname=None):
     plt.colorbar(pc, ax=ax, label="completeness")
     ax.set_xlabel("separation [AU]")
     ax.set_ylabel(r"mass [M$_{\rm jup}$]")
-    if fname is not None:
-        ax.figure.savefig(fname, dpi=150, bbox_inches="tight")
     return ax

@@ -638,6 +638,7 @@ def octofit_pigeons(
             carry["direction"], _theta_sharding
         )
 
+    log_T_record = carry["log_T"]
     for rnd in range(start_round, n_rounds):
         n_sweeps = 2 ** (rnd + 1)
         record = rnd == n_rounds - 1
@@ -658,6 +659,10 @@ def octofit_pigeons(
         eps_frozen = jnp.exp(carry["da"].log_eps)
         log_T_frozen = carry["log_T"]
         use_frozen = jnp.asarray(record)
+        if record:
+            # the tuning the recorded samples are actually drawn with
+            # (carry["log_T"] keeps shadow-adapting past this point)
+            log_T_record = log_T_frozen
 
         for s in range(n_sweeps):
             even = (sweep_counter % 2) == 0
@@ -709,46 +714,45 @@ def octofit_pigeons(
             # reported in info and used by the evidence estimator
             betas_report = np.asarray(betas_fix).copy()
             betas_var_report = np.asarray(betas_var).copy()
-        if True:
-            # Syed et al. schedule update per leg: equalize rejection.
-            # Runs after the record round too: it only affects the
-            # "<checkpoint>.final.npz" continuation state (escalation
-            # resumes then match a straight longer run's adaptation).
-            targets = np.linspace(0, lam[-1], N)
-            new_b = np.interp(targets, lam, betas_fix)
-            new_b[0], new_b[-1] = 0.0, 1.0
-            betas_fix = np.sort(new_b)
-            if Nv:
-                # var leg runs beta 1 -> 0; adapt in ascending coords
-                asc = betas_var[::-1]  # 0 -> 1 toward the target
-                lam_asc = np.concatenate([[0.0], np.cumsum(r_var[::-1])])
-                targets_v = np.linspace(0, lam_asc[-1], Nv)
-                new_v = np.interp(targets_v, lam_asc, asc)
-                new_v[0], new_v[-1] = 0.0, 1.0
-                betas_var = np.sort(new_v)[::-1].copy()
-            # metric per temperature from (sweeps x walkers) spread
-            if s_count > 4:
-                with np.errstate(invalid="ignore", over="ignore"):
-                    mean = s1 / s_count
-                    var = s2 / s_count - mean**2
-                # extreme unconstrained prior draws on the reference
-                # rung can overflow the moment accumulators; fall back
-                # to a unit-ish metric there instead of poisoning the
-                # explorer with NaN scales
-                var = np.nan_to_num(var, nan=1.0, posinf=1e6, neginf=1.0)
-                var = np.clip(var, 1e-6, None)
-                shrink = s_count / (s_count + 5.0)
-                sigma_diag = jnp.asarray(shrink * var + 1e-3 * (1 - shrink))
-            # moment-match the Gaussian reference to the target rung(s)
-            # (GaussianReference first_tuning_round semantics)
-            if Nv and rnd + 1 >= variational_first_tuning_round and s_count > 4:
-                rows = [N - 1, N]
-                m = (s1[rows].sum(0)) / (len(rows) * s_count)
-                v = (s2[rows].sum(0)) / (len(rows) * s_count) - m**2
-                v = np.clip(v, 1e-8, None)
-                q_mean = jnp.asarray(m)
-                q_log_std = jnp.asarray(0.5 * np.log(v))
-                q_active = True
+        # Syed et al. schedule update per leg: equalize rejection.
+        # Runs after the record round too: it only affects the
+        # "<checkpoint>.final.npz" continuation state (escalation
+        # resumes then match a straight longer run's adaptation).
+        targets = np.linspace(0, lam[-1], N)
+        new_b = np.interp(targets, lam, betas_fix)
+        new_b[0], new_b[-1] = 0.0, 1.0
+        betas_fix = np.sort(new_b)
+        if Nv:
+            # var leg runs beta 1 -> 0; adapt in ascending coords
+            asc = betas_var[::-1]  # 0 -> 1 toward the target
+            lam_asc = np.concatenate([[0.0], np.cumsum(r_var[::-1])])
+            targets_v = np.linspace(0, lam_asc[-1], Nv)
+            new_v = np.interp(targets_v, lam_asc, asc)
+            new_v[0], new_v[-1] = 0.0, 1.0
+            betas_var = np.sort(new_v)[::-1].copy()
+        # metric per temperature from (sweeps x walkers) spread
+        if s_count > 4:
+            with np.errstate(invalid="ignore", over="ignore"):
+                mean = s1 / s_count
+                var = s2 / s_count - mean**2
+            # extreme unconstrained prior draws on the reference
+            # rung can overflow the moment accumulators; fall back
+            # to a unit-ish metric there instead of poisoning the
+            # explorer with NaN scales
+            var = np.nan_to_num(var, nan=1.0, posinf=1e6, neginf=1.0)
+            var = np.clip(var, 1e-6, None)
+            shrink = s_count / (s_count + 5.0)
+            sigma_diag = jnp.asarray(shrink * var + 1e-3 * (1 - shrink))
+        # moment-match the Gaussian reference to the target rung(s)
+        # (GaussianReference first_tuning_round semantics)
+        if Nv and rnd + 1 >= variational_first_tuning_round and s_count > 4:
+            rows = [N - 1, N]
+            m = (s1[rows].sum(0)) / (len(rows) * s_count)
+            v = (s2[rows].sum(0)) / (len(rows) * s_count) - m**2
+            v = np.clip(v, 1e-8, None)
+            q_mean = jnp.asarray(m)
+            q_log_std = jnp.asarray(0.5 * np.log(v))
+            q_active = True
 
         if verbosity >= 2:
             extra = f", var barrier {barrier_var:.2f}" if Nv and barrier_var is not None else ""
@@ -833,7 +837,7 @@ def octofit_pigeons(
     info = {
         "sampler": "pt_deo",
         "explorer": explorer,
-        "trajectory_length": np.exp(np.asarray(carry["log_T"])),
+        "trajectory_length": np.exp(np.asarray(log_T_record)),
         "model_name": model.system.name,
         "logevidence": float(log_z),
         "global_barrier": float(barrier),
