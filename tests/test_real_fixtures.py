@@ -59,6 +59,22 @@ def test_image_fixture_reads():
 
 
 @needs_ref
+def test_read_images_skips_table_extensions():
+    """Regression: a FITS file whose extensions are BINTABLEs (e.g. any
+    OIFITS file) must yield no bogus 'images', and the PCOUNT heap must
+    be consumed so later HDUs stay aligned (the old reader returned the
+    table bytes as a uint8 image and then lost alignment)."""
+    import glob
+
+    from octofitter_tpu.io.fits import read_images
+
+    oifits = sorted(glob.glob(os.path.join(AMI_DIR, "*.oifits")))
+    assert oifits, "AMI fixtures missing"
+    out = read_images(oifits[0])
+    assert out == []
+
+
+@needs_ref
 def test_image_fixture_end_to_end_fit():
     """Fit the tutorial's exact model (docs/src/images.md) to the real
     shipped images — ImageObs with the automatic contrast curve — and
