@@ -339,11 +339,7 @@ def bench_partial_arc_pt():
     return out
 
 
-def bench_joint():
-    """North-star metric fields (BASELINE.md: "ESS/sec/chip on joint
-    astrometry+RV+HGCA fit"): the beta-Pic-like joint model from
-    examples/02_joint_astrom_pma_rv.py, sampled with the same strict
-    rank-normalized all-chain accounting as the headline."""
+def _build_joint_model():
     import importlib.util
     import os
 
@@ -355,11 +351,65 @@ def bench_joint():
     ex02 = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(ex02)
     model, _, _ = ex02.build_model()
-    ess, rhat, dt = _run_case(model)
+    return model
+
+
+def bench_joint(n_chains=4096):
+    """North-star metric fields (BASELINE.md: "ESS/sec/chip on joint
+    astrometry+RV+HGCA fit"): the beta-Pic-like joint model from
+    examples/02_joint_astrom_pma_rv.py, sampled with the same strict
+    rank-normalized all-chain accounting as the headline."""
+    model = _build_joint_model()
+    ess, rhat, dt = _run_case(model, n_chains=n_chains)
     return {
         "joint_astrom_pma_rv_ess_per_sec": ess / dt,
         "joint_astrom_pma_rv_rhat_max": rhat,
+        "joint_astrom_pma_rv_n_chains": n_chains,
     }
+
+
+def _try_joint_8192_subprocess(attempts=2, timeout_s=1200):
+    """Pure-upside joint-model chain-count upgrade, run LAST in an
+    isolated subprocess (same rationale as the 8192 headline upgrade:
+    the larger program shape can kernel-fault intermittently on the
+    axon backend, and a timed-out attempt still seeds the persistent
+    compile cache for its retry)."""
+    import os
+    import subprocess
+    import sys
+
+    script = os.path.abspath(__file__)
+    for attempt in range(attempts):
+        try:
+            proc = subprocess.run(
+                [sys.executable, script, "--case", "joint8192"],
+                capture_output=True, text=True, timeout=timeout_s,
+                cwd=os.path.dirname(script),
+            )
+        except subprocess.TimeoutExpired:
+            print(f"bench: joint-8192 attempt {attempt + 1} timed out",
+                  file=sys.stderr, flush=True)
+            continue
+        if proc.returncode != 0:
+            tail = (proc.stderr or "").strip().splitlines()[-3:]
+            print(
+                f"bench: joint-8192 attempt {attempt + 1} failed "
+                f"(rc={proc.returncode}): " + " | ".join(tail),
+                file=sys.stderr, flush=True,
+            )
+            continue
+        for line in reversed(proc.stdout.strip().splitlines()):
+            try:
+                out = json.loads(line)
+            except json.JSONDecodeError:
+                continue
+            if (
+                "joint_astrom_pma_rv_ess_per_sec" in out
+                and out.get("joint_astrom_pma_rv_rhat_max", np.inf) < 1.05
+            ):
+                return out
+            break
+    return None
 
 
 def _alarm_bounded(fn, seconds, error_key):
@@ -425,8 +475,19 @@ def main():
     import sys
 
     if len(sys.argv) >= 3 and sys.argv[1] == "--case":
-        # subprocess mode: one headline case, one JSON line
-        out = _headline_case(int(sys.argv[2]))
+        # subprocess mode: one case, one JSON line
+        case = sys.argv[2]
+        if case == "joint8192":
+            out = bench_joint(n_chains=8192)
+            if out["joint_astrom_pma_rv_rhat_max"] > 1.05:
+                raise RuntimeError(
+                    "joint 8192 did not converge "
+                    f"(rhat={out['joint_astrom_pma_rv_rhat_max']})"
+                )
+        elif case == "joint":
+            out = bench_joint()
+        else:
+            out = _headline_case(int(case))
         print(json.dumps(out), flush=True)
         return
 
@@ -463,9 +524,9 @@ def main():
         print(json.dumps(payload), flush=True)
         payload.update(bench_partial_arc_pt())
         print(json.dumps(payload), flush=True)
-        # LAST: the 8192-chain headline upgrade. Pure upside on a metric
-        # already printed — a timeout or kernel fault here can no longer
-        # cost any other phase its budget.
+        # LAST: chain-count upgrades. Pure upside on metrics already
+        # printed — a timeout or kernel fault here can no longer cost
+        # any other phase its budget.
         up = _try_8192_subprocess()
         if up is not None and up["ess_per_sec"] > ess_per_sec:
             payload.update(
@@ -473,6 +534,14 @@ def main():
                 vs_baseline=up["ess_per_sec"] / BASELINE_ESS_PER_SEC,
                 rhat_max=up["rhat_max"], n_chains=up["n_chains"],
             )
+            print(json.dumps(payload), flush=True)
+        upj = _try_joint_8192_subprocess()
+        if upj is not None and (
+            upj["joint_astrom_pma_rv_ess_per_sec"]
+            > payload.get("joint_astrom_pma_rv_ess_per_sec", 0.0)
+        ):
+            payload.update(upj)
+            payload.pop("joint_astrom_pma_rv_error", None)
             print(json.dumps(payload), flush=True)
     except Exception:
         solves = bench_kepler()
