@@ -108,7 +108,8 @@ def build_model(t0=55000.0, t1=59500.0, name="bench"):
     return oc.LogDensityModel(system, verbosity=0)
 
 
-def _run_case(model, n_chains=4096, n_warmup=700, n_samples=3000):
+def _run_case(model, n_chains=4096, n_warmup=700, n_samples=3000,
+              n_chunks=1):
     """Fit one dataset with ChEES; return (min rank-normalized ESS
     across every parameter, max rank-normalized split R-hat, seconds)."""
     from octofitter_tpu.chains import ess_rhat
@@ -130,7 +131,7 @@ def _run_case(model, n_chains=4096, n_warmup=700, n_samples=3000):
     samples, lls, stats, info = run_chees(
         vg, theta0, jax.random.PRNGKey(2),
         n_warmup=n_warmup, n_samples=n_samples,
-        metric="dense", initial_sigma=sigma0,
+        metric="dense", initial_sigma=sigma0, n_chunks=n_chunks,
     )
     jax.block_until_ready(samples)
     dt = time.perf_counter() - t0
@@ -190,13 +191,16 @@ def _run_partial_arc_pt(model, checkpoint_path, n_rounds=9, resume=None):
     return ess_min, rhat_max, dt
 
 
-def _headline_case(n_chains):
+def _headline_case(n_chains, n_chunks=1):
     model = build_model()
-    ess, rhat, dt = _run_case(model, n_chains=n_chains)
+    ess, rhat, dt = _run_case(model, n_chains=n_chains, n_chunks=n_chunks)
     if not np.isfinite(rhat) or rhat > 1.05:
         raise RuntimeError(f"bench sampling did not converge (rhat={rhat})")
-    return {"ess_per_sec": ess / dt, "rhat_max": rhat,
-            "n_chains": n_chains}
+    out = {"ess_per_sec": ess / dt, "rhat_max": rhat,
+           "n_chains": n_chains}
+    if n_chunks > 1:
+        out["n_chunks"] = n_chunks
+    return out
 
 
 def _try_8192_subprocess(attempts=2, timeout_s=1200):
@@ -486,6 +490,11 @@ def main():
                 )
         elif case == "joint":
             out = bench_joint()
+        elif "x" in case:
+            # "16384x2" = 16384 chains with the leapfrog body split
+            # into 2 sequential sub-batches (axon fault workaround)
+            n, k = case.split("x")
+            out = _headline_case(int(n), n_chunks=int(k))
         else:
             out = _headline_case(int(case))
         print(json.dumps(out), flush=True)

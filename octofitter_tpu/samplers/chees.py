@@ -149,11 +149,20 @@ def _adam_step(state: AdamState, g, lr=0.025, b1=0.9, b2=0.95, eps=1e-8):
 # --------------------------------------------------------------------------
 
 def _chees_transition(vg_batch, Theta, lp, Grad, key, eps, traj_len, u,
-                      metric, max_leapfrog):
+                      metric, max_leapfrog, n_chunks=1):
     """Shared-trajectory HMC step for all chains at once.
 
     Returns new (Theta, lp, Grad), per-chain stats, and the ChEES
     trajectory-length gradient estimate.
+
+    n_chunks > 1 splits the chain batch into that many sequential
+    sub-batches INSIDE the step (lax.map over the leapfrog while-loop),
+    shrinking every per-kernel buffer by the chunk factor while keeping
+    the cross-chain adaptation exact (acceptance, ChEES gradient and
+    Welford all still see the full batch). This is a program-shape
+    workaround for the axon backend's intermittent kernel faults on
+    very large single-kernel chain batches — statistically identical
+    to n_chunks=1 up to RNG-independent reduction order.
     """
     C, D = Theta.shape
     k_mom, k_acc = jax.random.split(key)
@@ -165,17 +174,37 @@ def _chees_transition(vg_batch, Theta, lp, Grad, key, eps, traj_len, u,
         jnp.ceil(t_traj / eps).astype(jnp.int32), 1, max_leapfrog
     )
 
-    def cond(s):
-        return s[0] < L
+    def _leapfrogs(Th0, R0_, lp0, G0):
+        def cond(s):
+            return s[0] < L
 
-    def body(s):
-        i, Th, R, lpv, G = s
-        Th2, R2, lp2, G2 = _leapfrog_batch(vg_batch, Th, R, G, eps, metric)
-        return (i + 1, Th2, R2, lp2, G2)
+        def body(s):
+            i, Th, R, lpv, G = s
+            Th2, R2, lp2, G2 = _leapfrog_batch(vg_batch, Th, R, G, eps, metric)
+            return (i + 1, Th2, R2, lp2, G2)
 
-    _, Theta1, R1, lp1, Grad1 = jax.lax.while_loop(
-        cond, body, (jnp.asarray(0, jnp.int32), Theta, R0, lp, Grad)
-    )
+        _, Th1, R1, lp1, G1 = jax.lax.while_loop(
+            cond, body, (jnp.asarray(0, jnp.int32), Th0, R0_, lp0, G0)
+        )
+        return Th1, R1, lp1, G1
+
+    if n_chunks > 1:
+        assert C % n_chunks == 0, (C, n_chunks)
+        Cs = C // n_chunks
+        parts = jax.lax.map(
+            lambda args: _leapfrogs(*args),
+            (
+                Theta.reshape(n_chunks, Cs, D),
+                R0.reshape(n_chunks, Cs, D),
+                lp.reshape(n_chunks, Cs),
+                Grad.reshape(n_chunks, Cs, D),
+            ),
+        )
+        Theta1, R1, lp1, Grad1 = (
+            p.reshape((C,) + p.shape[2:]) for p in parts
+        )
+    else:
+        Theta1, R1, lp1, Grad1 = _leapfrogs(Theta, R0, lp, Grad)
 
     H1 = -lp1 + _kinetic_batch(metric, R1)
     delta = H1 - H0
@@ -233,6 +262,7 @@ def run_chees(
     initial_step_size: float = 0.05,
     adam_lr: float = 0.025,
     warmup_state: dict | None = None,
+    n_chunks: int = 1,
 ):
     """Warmup + sample with cross-chain ChEES adaptation.
 
@@ -286,7 +316,7 @@ def run_chees(
                 key, k_step = jax.random.split(key)
                 Theta, lp, Grad, stats, _ = _chees_transition(
                     vg_batch, Theta, lp, Grad, k_step, ws_eps, ws_T, u,
-                    metric_f, max_leapfrog,
+                    metric_f, max_leapfrog, n_chunks,
                 )
                 return (Theta, lp, Grad, key), (Theta, lp, stats)
 
@@ -324,7 +354,7 @@ def run_chees(
             T = jnp.exp(carry["log_T"])
             Theta, lp, Grad, stats, g_logT = _chees_transition(
                 vg_batch, carry["Theta"], carry["lp"], carry["Grad"],
-                k_step, eps, T, u, carry["metric"], max_leapfrog,
+                k_step, eps, T, u, carry["metric"], max_leapfrog, n_chunks,
             )
             # shared dual averaging on the cross-chain mean acceptance
             mean_alpha = stats.acceptance_rate.mean()
@@ -383,7 +413,7 @@ def run_chees(
             key, k_step = jax.random.split(key)
             Theta, lp, Grad, stats, _ = _chees_transition(
                 vg_batch, Theta, lp, Grad, k_step, eps_f, T_f, u,
-                metric_f, max_leapfrog,
+                metric_f, max_leapfrog, n_chunks,
             )
             return (Theta, lp, Grad, key), (Theta, lp, stats)
 
