@@ -24,6 +24,8 @@ from octofitter_tpu.orbits import (
 )
 
 
+pytestmark = pytest.mark.integration
+
 def _simulate_astrom(true, epochs, sigma, rng, name):
     sol = orbitsolve(VisualOrbit.from_params(**true), jnp.asarray(epochs))
     n = len(epochs)

@@ -1,6 +1,7 @@
 """Checkpoint/resume: PT round-level (reference Pigeons checkpoint=true,
 `OctofitterPigeonsExt.jl:81`) and ChEES sampler-state continuation."""
 
+import pytest
 import os
 
 import jax
@@ -12,6 +13,8 @@ from octofitter_tpu import distributions as dist
 from octofitter_tpu.model.variables import DirectLL
 from octofitter_tpu.samplers.tempering import octofit_pigeons
 
+
+pytestmark = pytest.mark.integration
 
 def _toy_model():
     sys = oc.System(

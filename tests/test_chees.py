@@ -5,6 +5,7 @@ GeneralisedNoUTurn criterion (`/root/reference/src/sampling.jl:376-394`)
 with the accelerator-native ChEES criterion (Hoffman et al. 2021).
 """
 
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -17,6 +18,8 @@ from octofitter_tpu.samplers.chees import (
 )
 from octofitter_tpu.samplers.nuts import welford_init, welford_sigma
 
+
+pytestmark = pytest.mark.integration
 
 def test_halton_sequence():
     h = halton_sequence(8)

@@ -11,6 +11,8 @@ import re
 
 import pytest
 
+pytestmark = pytest.mark.integration
+
 DOCS = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                     "docs")
 

@@ -17,6 +17,8 @@ from octofitter_tpu.samplers import octofit
 from test_model import quickstart_model, TRUE
 
 
+pytestmark = pytest.mark.integration
+
 @pytest.fixture(scope="module")
 def chain():
     model = quickstart_model()

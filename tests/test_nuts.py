@@ -5,6 +5,7 @@ tolerances — exact-moment checks on tractable targets, then the
 end-to-end integration test lives in test_integration_sampling.py.
 """
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -12,6 +13,8 @@ import numpy as np
 from octofitter_tpu.chains import ess_rhat
 from octofitter_tpu.samplers.nuts import run_nuts
 
+
+pytestmark = pytest.mark.integration
 
 def _run_on(logdensity, D, n_chains=8, n_warmup=500, n_samples=1000, seed=0,
             metric="dense"):

@@ -21,6 +21,8 @@ import pytest
 import octofitter_tpu as oc
 from octofitter_tpu import distributions as dist
 
+pytestmark = pytest.mark.integration
+
 REF = "/root/reference"
 IMG_FIXTURE = os.path.join(REF, "image-examples-1.fits")
 AMI_DIR = os.path.join(REF, "examples", "AMI_data")

@@ -10,6 +10,7 @@ global maximum likelihood. Validated two ways:
    the quickstart astrometry model (quantile agreement).
 """
 
+import pytest
 import math
 
 import jax
@@ -22,6 +23,8 @@ from octofitter_tpu import distributions as dist
 from octofitter_tpu.model.variables import UserLikelihood
 from octofitter_tpu.samplers.driver import octofit, octofit_rejection
 
+
+pytestmark = pytest.mark.integration
 
 def _conjugate_model(mu0=0.0, s0=1.0, y=1.0, sy=0.5):
     obs = UserLikelihood(dist.Normal(y, sy), "x", name="obs1")

@@ -5,6 +5,7 @@ log Z is known in closed form — validating the DEO swaps, schedule
 adaptation and stepping-stone estimator end to end.
 """
 
+import pytest
 import math
 
 import jax
@@ -16,6 +17,8 @@ from octofitter_tpu import distributions as dist
 from octofitter_tpu.model.variables import UserLikelihood
 from octofitter_tpu.samplers.tempering import octofit_pigeons
 
+
+pytestmark = pytest.mark.integration
 
 def conjugate_model(mu0=0.0, s0=1.0, y=1.0, sy=0.5):
     # prior x ~ N(mu0, s0); likelihood y ~ N(x, sy)
