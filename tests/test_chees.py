@@ -117,6 +117,62 @@ def test_chees_stats_contract():
         assert k in info
 
 
+def test_chees_n_chunks_transition_parity():
+    """n_chunks splits the leapfrog body into sequential sub-batches as
+    a program-shape workaround (the axon backend kernel-faults on very
+    large single-kernel chain batches). A single transition with shared
+    inputs must agree with the unchunked transition to reduction-order
+    precision (full-run trajectories diverge chaotically from those
+    ulps, so parity is checked per-transition, statistics below)."""
+    from octofitter_tpu.samplers.chees import _chees_transition
+    from octofitter_tpu.samplers.nuts import metric_from_sigma
+
+    D = 3
+    rng = np.random.default_rng(2)
+    A = rng.standard_normal((D, D))
+    prec = jnp.asarray(np.linalg.inv(A @ A.T + 0.5 * np.eye(D)))
+
+    def lp(x):
+        return -0.5 * x @ prec @ x
+
+    vg = jax.vmap(jax.value_and_grad(lp))
+    theta0 = jax.random.normal(jax.random.PRNGKey(0), (16, D),
+                               jnp.float64)
+    lp0, g0 = vg(theta0)
+    metric = metric_from_sigma(jnp.eye(D, dtype=jnp.float64))
+    args = (theta0, lp0, g0, jax.random.PRNGKey(1),
+            jnp.asarray(0.12, jnp.float64), jnp.asarray(1.1, jnp.float64),
+            jnp.asarray(0.7, jnp.float64), metric, 64)
+    out1 = _chees_transition(vg, *args, n_chunks=1)
+    out4 = _chees_transition(vg, *args, n_chunks=4)
+    for a, b in zip(out1[:3] + (out4[4],), out4[:3] + (out1[4],)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-9, atol=1e-12)
+
+
+def test_chees_n_chunks_statistical_parity():
+    """Full chunked run samples the same posterior: moments of the
+    chunked and unchunked runs agree to Monte-Carlo error."""
+    D = 3
+    rng = np.random.default_rng(2)
+    A = rng.standard_normal((D, D))
+    cov = A @ A.T + 0.5 * np.eye(D)
+    prec = jnp.asarray(np.linalg.inv(cov))
+
+    def lp(x):
+        return -0.5 * x @ prec @ x
+
+    vg = jax.value_and_grad(lp)
+    theta0 = jax.random.normal(jax.random.PRNGKey(0), (64, D)) * 0.1
+    s4, *_ = run_chees(
+        vg, theta0, jax.random.PRNGKey(1), n_warmup=300, n_samples=300,
+        n_chunks=4,
+    )
+    flat = np.asarray(s4).reshape(-1, D)
+    np.testing.assert_allclose(flat.mean(axis=0), np.zeros(D), atol=0.25)
+    np.testing.assert_allclose(np.cov(flat.T), cov, atol=0.6, rtol=0.25)
+
+
 def test_octofit_chees_astrometry():
     """End-to-end octofit(sampler='chees') on the quick-start model
     recovers the injected semi-major axis."""
