@@ -102,8 +102,9 @@ from .atmosphere import (
     bhac15_mass_age_interpolator,
 )
 from .plots import octoplot, octocorner
-from .images import ImageObs, LogLikelihoodMapObs
-from .transits import LightCurveObs
+from .images import ImageObs, ImageLikelihood, LogLikelihoodMapObs
+from .images.likelihoods import LogLikelihoodMap
+from .transits import LightCurveObs, LightCurveLikelihood
 from . import io as octo_io
 from .io import savechain, loadchain
 from .io.orbitize import (
@@ -115,6 +116,12 @@ from .io.orbitize import (
 from .samplers import octofit, octofit_rejection, octofit_pigeons, octofit_nested
 from .samplers.nested import dysample
 from .chains import Chains, ess_rhat
+
+
+def describe(chain):
+    """Summary + quantile tables for a Chains object (the reference
+    re-exports MCMCChains `describe`, src/Octofitter.jl:47)."""
+    return chain.describe()
 from .analysis.crossvalidation import (
     prior_only_model,
     pointwise_like,
@@ -153,6 +160,21 @@ def sample_priors(model, key, n=None):
     src/sampling.jl:6) — thin delegate to
     `LogDensityModel.sample_priors`."""
     return model.sample_priors(key, n)
+
+
+def initialize(model, *args, **kwargs):
+    """Run the starting-point pipeline (reference `initialize!`,
+    src/initialization.jl:184) — thin delegate to
+    `LogDensityModel.initialize` for users porting scripts that call
+    the function form."""
+    return model.initialize(*args, **kwargs)
+
+
+def startingpoints(model, points):
+    """Set explicit starting points (reference `startingpoints!`,
+    src/initialization.jl:293) — thin delegate to
+    `LogDensityModel.startingpoints`."""
+    return model.startingpoints(points)
 
 
 __version__ = "0.1.0"

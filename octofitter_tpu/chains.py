@@ -169,6 +169,47 @@ class Chains:
             }
         return out
 
+    def describe(self):
+        """Summary + quantile tables as pandas DataFrames (the reference
+        re-exports MCMCChains `describe`, src/Octofitter.jl:47, which
+        prints exactly these two tables). Returns (summary, quantiles):
+        summary has mean/std/mcse/ess_bulk/ess_tail/rhat per parameter,
+        quantiles the 2.5/25/50/75/97.5 percent points."""
+        import pandas as pd
+
+        srows, qrows = [], []
+        for k, v in self.data.items():
+            if v.ndim != 2:
+                continue
+            ess, rhat = ess_rhat(v)
+            flat = v.reshape(-1)
+            srows.append(
+                dict(
+                    parameters=k,
+                    mean=float(flat.mean()),
+                    std=float(flat.std()),
+                    mcse=float(flat.std() / np.sqrt(max(ess, 1e-12))),
+                    ess_bulk=ess,
+                    ess_tail=ess_tail(v),
+                    rhat=rhat,
+                )
+            )
+            q = np.percentile(flat, [2.5, 25.0, 50.0, 75.0, 97.5])
+            qrows.append(
+                {
+                    "parameters": k,
+                    "2.5%": q[0],
+                    "25.0%": q[1],
+                    "50.0%": q[2],
+                    "75.0%": q[3],
+                    "97.5%": q[4],
+                }
+            )
+        return (
+            pd.DataFrame(srows).set_index("parameters"),
+            pd.DataFrame(qrows).set_index("parameters"),
+        )
+
     def __repr__(self):
         lines = [
             f"Chains ({self.n_chains} chains, {self.n_draws} draws, "

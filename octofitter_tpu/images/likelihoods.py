@@ -200,3 +200,5 @@ class LogLikelihoodMapObs(AbstractObs):
 
 
 ImageLikelihood = ImageObs
+# reference alias (OctofitterImages/src/likelihood-maps.jl:76)
+LogLikelihoodMap = LogLikelihoodMapObs
