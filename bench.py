@@ -203,14 +203,15 @@ def _headline_case(n_chains, n_chunks=1):
     return out
 
 
-def _try_8192_subprocess(attempts=2, timeout_s=1200):
-    """8192 chains measured 816k ESS/s vs 762k at 4096 on v5e, but the
+def _try_case_subprocess(case, ess_key, rhat_key, attempts=2,
+                         timeout_s=1200):
+    """Pure-upside chain-count upgrades (e.g. 8192 chains measured 816k
+    ESS/s vs 762k at 4096 on v5e) run in an isolated subprocess: the
     axon backend kernel-faults INTERMITTENTLY (~1 in 2 runs) on the
-    larger program, and on a slow remote-compile day the whole attempt
-    can time out. Run it in an isolated subprocess so a fault (or a
-    wedged runtime) cannot take down the bench; this runs LAST, after
-    every gated metric has printed, so a failure here costs only its
-    own budget. A timed-out attempt still seeds the persistent
+    larger program shapes, and on a slow remote-compile day the whole
+    attempt can time out — neither may take down the bench. These run
+    LAST, after every gated metric has printed, so a failure costs only
+    its own budget. A timed-out attempt still seeds the persistent
     compilation cache, so the retry starts compile-warm."""
     import os
     import subprocess
@@ -220,18 +221,18 @@ def _try_8192_subprocess(attempts=2, timeout_s=1200):
     for attempt in range(attempts):
         try:
             proc = subprocess.run(
-                [sys.executable, script, "--case", "8192"],
+                [sys.executable, script, "--case", case],
                 capture_output=True, text=True, timeout=timeout_s,
                 cwd=os.path.dirname(script),
             )
         except subprocess.TimeoutExpired:
-            print(f"bench: 8192-chain attempt {attempt + 1} timed out",
+            print(f"bench: case {case} attempt {attempt + 1} timed out",
                   file=sys.stderr, flush=True)
             continue
         if proc.returncode != 0:
             tail = (proc.stderr or "").strip().splitlines()[-3:]
             print(
-                f"bench: 8192-chain attempt {attempt + 1} failed "
+                f"bench: case {case} attempt {attempt + 1} failed "
                 f"(rc={proc.returncode}): " + " | ".join(tail),
                 file=sys.stderr, flush=True,
             )
@@ -241,10 +242,14 @@ def _try_8192_subprocess(attempts=2, timeout_s=1200):
                 out = json.loads(line)
             except json.JSONDecodeError:
                 continue
-            if "ess_per_sec" in out and out.get("rhat_max", np.inf) < 1.05:
+            if ess_key in out and out.get(rhat_key, np.inf) < 1.05:
                 return out
             break
     return None
+
+
+def _try_8192_subprocess():
+    return _try_case_subprocess("8192", "ess_per_sec", "rhat_max")
 
 
 def bench_sampling():
@@ -372,48 +377,12 @@ def bench_joint(n_chains=4096):
     }
 
 
-def _try_joint_8192_subprocess(attempts=2, timeout_s=1200):
-    """Pure-upside joint-model chain-count upgrade, run LAST in an
-    isolated subprocess (same rationale as the 8192 headline upgrade:
-    the larger program shape can kernel-fault intermittently on the
-    axon backend, and a timed-out attempt still seeds the persistent
-    compile cache for its retry)."""
-    import os
-    import subprocess
-    import sys
-
-    script = os.path.abspath(__file__)
-    for attempt in range(attempts):
-        try:
-            proc = subprocess.run(
-                [sys.executable, script, "--case", "joint8192"],
-                capture_output=True, text=True, timeout=timeout_s,
-                cwd=os.path.dirname(script),
-            )
-        except subprocess.TimeoutExpired:
-            print(f"bench: joint-8192 attempt {attempt + 1} timed out",
-                  file=sys.stderr, flush=True)
-            continue
-        if proc.returncode != 0:
-            tail = (proc.stderr or "").strip().splitlines()[-3:]
-            print(
-                f"bench: joint-8192 attempt {attempt + 1} failed "
-                f"(rc={proc.returncode}): " + " | ".join(tail),
-                file=sys.stderr, flush=True,
-            )
-            continue
-        for line in reversed(proc.stdout.strip().splitlines()):
-            try:
-                out = json.loads(line)
-            except json.JSONDecodeError:
-                continue
-            if (
-                "joint_astrom_pma_rv_ess_per_sec" in out
-                and out.get("joint_astrom_pma_rv_rhat_max", np.inf) < 1.05
-            ):
-                return out
-            break
-    return None
+def _try_joint_8192_subprocess():
+    return _try_case_subprocess(
+        "joint8192",
+        "joint_astrom_pma_rv_ess_per_sec",
+        "joint_astrom_pma_rv_rhat_max",
+    )
 
 
 def _alarm_bounded(fn, seconds, error_key):

@@ -88,18 +88,29 @@ def geocentre_position_query(mjd, earth_table=None, observer="earth",
                         mjd_arr, ep, np.asarray(earth_table[k], dtype=np.float64)
                     )
             else:
-                # central finite difference of the interpolated table
+                # Finite difference of the interpolated table. np.interp
+                # clamps outside [ep[0], ep[-1]], so shift the stencil to
+                # stay inside the table (one-sided at the boundaries)
+                # rather than silently halving/zeroing edge velocities.
                 h = 0.5  # days
-                lo = earth_position_from_table(np.asarray(mjd) - h, earth_table)
-                hi = earth_position_from_table(np.asarray(mjd) + h, earth_table)
+                ep = np.asarray(earth_table["epoch"], dtype=np.float64)
+                mjd_arr = np.asarray(mjd, dtype=np.float64)
+                t_lo = np.clip(mjd_arr - h, ep[0], max(ep[-1] - 2 * h, ep[0]))
+                t_hi = np.minimum(t_lo + 2 * h, ep[-1])
+                dt = np.maximum(t_hi - t_lo, 1e-12)
+                lo = earth_position_from_table(t_lo, earth_table)
+                hi = earth_position_from_table(t_hi, earth_table)
                 for k in ("x", "y", "z"):
-                    pos["v" + k] = (hi[k] - lo[k]) / (2 * h)
+                    pos["v" + k] = (hi[k] - lo[k]) / dt
         return pos
     if observer == "gaia":
         pos = gaia_position_au(mjd)
     else:
         pos = earth_position_au(mjd)
     if with_velocity:
-        vx, vy, vz = vsop87.earth_velocity_au_day(mjd)
+        if observer == "gaia":
+            vx, vy, vz = vsop87.gaia_velocity_au_day(mjd)
+        else:
+            vx, vy, vz = vsop87.earth_velocity_au_day(mjd)
         pos = dict(pos, vx=vx, vy=vy, vz=vz)
     return pos

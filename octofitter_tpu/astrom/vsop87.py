@@ -518,6 +518,21 @@ def earth_velocity_au_day(mjd_tdb, dt=0.05):
     )
 
 
+def gaia_velocity_au_day(mjd_tdb, dt=0.05):
+    """Gaia (Sun-Earth L2 model) barycentric velocity (AU/day, eq
+    J2000) by central difference, consistent with
+    `gaia_barycentric_xyz` so an observer state vector never mixes the
+    L2 position with the geocentre velocity."""
+    mjd_tdb = np.atleast_1d(np.asarray(mjd_tdb, dtype=np.float64))
+    xp, yp, zp = gaia_barycentric_xyz(mjd_tdb + dt)
+    xm, ym, zm = gaia_barycentric_xyz(mjd_tdb - dt)
+    return (
+        (xp - xm) / (2 * dt),
+        (yp - ym) / (2 * dt),
+        (zp - zm) / (2 * dt),
+    )
+
+
 # ----------------------------------------------------------------------
 # time-scale helpers (for validation against UTC/TCB-stamped data)
 # ----------------------------------------------------------------------

@@ -263,7 +263,7 @@ def octofit(
         except Exception:  # backend init failure: let run_nuts surface it
             platform = ""
         if (
-            platform not in ("cpu", "gpu")
+            platform not in ("cpu", "gpu", "")
             and chains * (2 ** max_depth) > 1024 * (2 ** 10)
             and verbosity >= 0
         ):
@@ -345,11 +345,13 @@ def octofit_rejection(
     cand_draws, cand_ll, cand_u = [], [], []
     max_ll = -np.inf
     total_drawn = 0
+    n_acc = 0
     for i in range(max_batches):
         key, k_batch, k_acc = jax.random.split(key, 3)
         draws, lls = batch_lls(k_batch)
         lls_np = np.asarray(lls)
         u = np.asarray(jax.random.uniform(k_acc, (batch_size,)))
+        prev_max_ll = max_ll
         if np.isfinite(lls_np).any():
             max_ll = max(max_ll, float(lls_np[np.isfinite(lls_np)].max()))
         with np.errstate(over="ignore"):
@@ -358,10 +360,18 @@ def octofit_rejection(
         cand_ll.append(lls_np[keep])
         cand_u.append(u[keep])
         total_drawn += batch_size
-        # exact acceptance count under the current global max
-        ll_all = np.concatenate(cand_ll)
-        u_all = np.concatenate(cand_u)
-        n_acc = int(np.sum(u_all < np.exp(ll_all - max_ll)))
+        # exact acceptance count under the current global max. A higher
+        # max only shrinks earlier candidates' acceptance, so the full
+        # recount is needed ONLY when max_ll moved; otherwise count just
+        # this batch's kept candidates (already filtered under max_ll).
+        with np.errstate(over="ignore"):
+            if max_ll > prev_max_ll:
+                n_acc = sum(
+                    int(np.sum(uc < np.exp(lc - max_ll)))
+                    for uc, lc in zip(cand_u, cand_ll)
+                )
+            else:
+                n_acc += int(keep.sum())
         if verbosity >= 2:
             print(
                 f"octofit_rejection: batch {i + 1}, accepted {n_acc}"
@@ -375,7 +385,10 @@ def octofit_rejection(
             "all prior samples produced non-finite log-likelihoods"
         )
     draws_all = np.concatenate(cand_draws)
-    final = u_all < np.exp(ll_all - max_ll)
+    ll_all = np.concatenate(cand_ll)
+    u_all = np.concatenate(cand_u)
+    with np.errstate(over="ignore"):
+        final = u_all < np.exp(ll_all - max_ll)
     draws_nat = draws_all[final][:num_samples]
     ll_acc = ll_all[final][:num_samples]
     if len(draws_nat) == 0:

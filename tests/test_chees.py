@@ -19,8 +19,6 @@ from octofitter_tpu.samplers.chees import (
 from octofitter_tpu.samplers.nuts import welford_init, welford_sigma
 
 
-pytestmark = pytest.mark.integration
-
 def test_halton_sequence():
     h = halton_sequence(8)
     assert np.all((h > 0) & (h < 1))
@@ -45,6 +43,7 @@ def test_welford_batch_matches_numpy():
     assert np.abs(sig - cov).max() < 0.6
 
 
+@pytest.mark.integration
 def test_chees_correlated_gaussian_moments():
     """Dense-metric ChEES recovers mean/cov of a correlated Gaussian and
     adapts the trajectory length away from its initial value."""
@@ -77,6 +76,7 @@ def test_chees_correlated_gaussian_moments():
     assert float(np.asarray(stats.n_steps).mean()) > 2.0
 
 
+@pytest.mark.integration
 def test_chees_scaled_gaussian_diag_metric():
     scales = jnp.asarray([0.05, 1.0, 20.0])
 
@@ -99,6 +99,7 @@ def test_chees_scaled_gaussian_diag_metric():
     assert np.all(ratio > 0.3) and np.all(ratio < 3.0)
 
 
+@pytest.mark.integration
 def test_chees_stats_contract():
     """Output contract matches run_nuts: (C,S,D), (C,S), stats (C,S)."""
     def lp(x):
@@ -150,6 +151,7 @@ def test_chees_n_chunks_transition_parity():
                                    rtol=1e-9, atol=1e-12)
 
 
+@pytest.mark.integration
 def test_chees_n_chunks_statistical_parity():
     """Full chunked run samples the same posterior: moments of the
     chunked and unchunked runs agree to Monte-Carlo error."""
@@ -173,6 +175,7 @@ def test_chees_n_chunks_statistical_parity():
     np.testing.assert_allclose(np.cov(flat.T), cov, atol=0.6, rtol=0.25)
 
 
+@pytest.mark.integration
 def test_octofit_chees_astrometry():
     """End-to-end octofit(sampler='chees') on the quick-start model
     recovers the injected semi-major axis."""

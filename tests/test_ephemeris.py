@@ -158,3 +158,40 @@ def test_velocity_consistency():
     speed = np.sqrt(vx**2 + vy**2 + vz**2)
     # ~30 km/s = 0.0172 AU/day
     assert np.all((speed > 0.0165) & (speed < 0.0180))
+
+
+def test_gaia_observer_velocity_consistent():
+    """observer='gaia' with_velocity returns the L2 model's own velocity
+    (derivative of gaia_position_au), never the geocentre's — the
+    heliocentric component differs by the L2 scale factor (~1%)."""
+    from octofitter_tpu.astrom.ephemeris import geocentre_position_query
+
+    ts = np.array([57000.0, 58234.5])
+    pos = geocentre_position_query(ts, observer="gaia", with_velocity=True)
+    p0 = gaia_position_au(ts - 0.5)
+    p1 = gaia_position_au(ts + 0.5)
+    for k in "xyz":
+        assert np.allclose(p1[k] - p0[k], pos["v" + k], atol=5e-6)
+    vex, vey, vez = v.earth_velocity_au_day(ts)
+    dv = np.sqrt(
+        (pos["vx"] - vex) ** 2 + (pos["vy"] - vey) ** 2
+        + (pos["vz"] - vez) ** 2
+    )
+    # the two differ by ~1% of the ~0.0172 AU/day orbital speed
+    assert np.all(dv > 5e-5)
+
+
+def test_table_velocity_edge_stencil():
+    """Finite-difference velocities from a user earth_table are exact
+    for a linear table even AT the table boundaries (np.interp clamps
+    outside the range; the stencil must shift inward, not clamp)."""
+    from octofitter_tpu.astrom.ephemeris import geocentre_position_query
+
+    ep = np.linspace(56000.0, 56010.0, 11)
+    tab = {"epoch": ep, "x": 0.001 * ep, "y": -0.002 * ep,
+           "z": 0.0005 * ep}
+    q = geocentre_position_query(ep[[0, 5, 10]], earth_table=tab,
+                                 with_velocity=True)
+    np.testing.assert_allclose(q["vx"], 0.001, rtol=1e-9)
+    np.testing.assert_allclose(q["vy"], -0.002, rtol=1e-9)
+    np.testing.assert_allclose(q["vz"], 0.0005, rtol=1e-9)
