@@ -164,10 +164,14 @@ def sample_priors(model, key, n=None):
 
 def initialize(model, *args, **kwargs):
     """Run the starting-point pipeline (reference `initialize!`,
-    src/initialization.jl:184) — thin delegate to
-    `LogDensityModel.initialize` for users porting scripts that call
-    the function form."""
-    return model.initialize(*args, **kwargs)
+    src/initialization.jl:184) and return the init chain of starting
+    points, like the reference — pass it to `octoplot` to check data
+    entry before sampling. (The `LogDensityModel.initialize` method
+    form returns the MAP point in unconstrained coordinates instead.)"""
+    from .model.initialization import starting_points_chain
+
+    model.initialize(*args, **kwargs)
+    return starting_points_chain(model)
 
 
 def startingpoints(model, points):

@@ -176,3 +176,52 @@ def initialize(
     model.starting_points = draws
     model.laplace_sigma = sigma
     return jnp.asarray(theta_star)
+
+
+def starting_points_chain(model, key=None):
+    """Package `model.starting_points` as a 1-chain `Chains` with all
+    derived quantities resolved — the init chain the reference's
+    `initialize!` returns (`initialization.jl:184-344`), so tutorials
+    can `octoplot(model, init_chain)` to sanity-check data entry before
+    sampling."""
+    import jax
+
+    from ..chains import Chains, flatten_params_batch
+
+    if model.starting_points is None:
+        raise ValueError("run initialize() first")
+    draws = jnp.asarray(model.starting_points)
+    if getattr(model, "discrete_names", []):
+        keys = jax.random.split(
+            key if key is not None else jax.random.PRNGKey(0), draws.shape[0]
+        )
+
+        def one(t, k):
+            logits = model.discrete_conditional_logits(t)
+            i = jax.random.categorical(k, logits)
+            return model._disc_combos[i]
+
+        disc = jax.vmap(one)(draws, keys)
+        nts = jax.vmap(model.arr2nt)(jax.vmap(model.invlink)(draws), disc)
+    else:
+        nts = jax.vmap(model.arr2nt)(jax.vmap(model.invlink)(draws))
+    lp = np.asarray(jax.vmap(model._ln_post_py)(draws)).reshape(1, -1)
+
+    data = {}
+    for k, v in flatten_params_batch(nts).items():
+        v = np.asarray(v)
+        if v.ndim == 1:
+            data[k] = v.reshape(1, -1)
+        else:
+            v2 = v.reshape(1, v.shape[0], -1)
+            for j in range(v2.shape[-1]):
+                data[f"{k}_{j + 1}"] = v2[..., j]
+    return Chains(
+        data,
+        {"logpost": lp},
+        {
+            "sampler": "initialize",
+            "model_name": model.system.name,
+            "parameter_names": model.parameter_names,
+        },
+    )

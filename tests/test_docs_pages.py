@@ -35,6 +35,10 @@ PAGES = [
     "migration.md",
     "extract-phot-astrom.md",
     "api.md",
+    "pma.md",
+    "hipparcos.md",
+    "fit-coplanar.md",
+    "rv-multi-planet.md",
 ]
 
 _BLOCK_RE = re.compile(r"```python\n(.*?)```", re.DOTALL)

@@ -219,3 +219,26 @@ def test_photometry_and_user_likelihood():
     assert "b_Keck_flux" in model.parameter_names
     theta_t = model.link(model.sample_priors(jax.random.PRNGKey(0)))
     assert np.isfinite(float(model.ln_post(theta_t)))
+
+
+def test_initialize_function_form_returns_init_chain(model):
+    """`oc.initialize(model)` (the reference `initialize!` function form,
+    initialization.jl:184) returns an init chain of the Laplace starting
+    points with derived quantities resolved, usable with octoplot."""
+    init_chain = oc.initialize(
+        model, jax.random.PRNGKey(7), verbosity=0,
+        n_prior_samples=2000, n_multistart=32, n_opt_steps=100, n_draws=32,
+    )
+    assert init_chain.n_chains == 1
+    assert init_chain.n_draws == len(model.starting_points)
+    # free, derived, and constant-resolved columns all present
+    for col in ("M", "plx", "b_a", "b_e", "b_tp"):
+        assert col in init_chain.data, col
+        assert np.all(np.isfinite(init_chain[col]))
+    assert np.all(np.isfinite(init_chain["logpost"]))
+    # draws concentrate near the mode: much better than raw prior draws
+    assert float(np.median(init_chain["logpost"])) > -1e3
+    # octoplot accepts the init chain (smoke)
+    import matplotlib
+    matplotlib.use("Agg")
+    oc.octoplot(model, init_chain, fname="/tmp/init_chain_plot.png")
