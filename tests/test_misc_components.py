@@ -502,3 +502,29 @@ def test_dataset_fetch(tmp_path, monkeypatch):
     with _p.raises(ValueError) as ei:
         datadeps.fetch_dataset("G23H_catalog", force=True)
     assert "stage" in str(ei.value)
+
+
+def test_dr4_completeness_example_fast(tmp_path, monkeypatch):
+    """examples/11_dr4_completeness.py (reference
+    examples/completeness_dr4/ workflow) in --fast mode: real GOST
+    DR4-baseline scan law, injection-recovery over a 2x2 grid, both
+    heavy-companion cells recovered."""
+    pytest.importorskip("pandas")
+    import importlib.util
+
+    ex_path = os.path.join(os.path.dirname(__file__), os.pardir,
+                           "examples", "11_dr4_completeness.py")
+    gost = "/root/reference/docs/src/GOST-42.03733343244703--31.42348623214663-dr4.csv"
+    if not os.path.exists(gost):
+        pytest.skip("GOST DR4 CSV not available")
+    monkeypatch.setenv("OCTOFITTER_TEST_MODE", "unit")  # forces FAST grid
+    monkeypatch.chdir(tmp_path)
+    spec = importlib.util.spec_from_file_location("ex11", ex_path)
+    ex11 = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ex11)
+    assert ex11.FAST
+    cmap = ex11.main()
+    # 2 and 20 Mjup at 0.07 mas AL noise are unmissable
+    assert np.all(cmap.n_total == 1)
+    assert float(cmap.completeness[1, 1]) == 1.0
+    assert os.path.exists(tmp_path / "dr4_completeness.png")
