@@ -21,6 +21,7 @@ PAGES = [
     "derived.md",
     "custom-likelihood.md",
     "data-simulation.md",
+    "gaia-dr4-simulation.md",
     "post-pred.md",
     "thiele-innes.md",
     "images.md",
