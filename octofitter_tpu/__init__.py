@@ -113,6 +113,7 @@ from .io.orbitize import (
     Whereistheplanet_search,
     Whereistheplanet_astrom,
 )
+from .net import GOST_forecast, query_gaia_catalog, query_nss_tap, tap_query
 from .samplers import octofit, octofit_rejection, octofit_pigeons, octofit_nested
 from .samplers.nested import dysample
 from .chains import Chains, ess_rhat

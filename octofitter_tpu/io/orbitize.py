@@ -117,22 +117,35 @@ def savehdf5(fname, model, chain: Chains, planet_key=None):
 
 def Whereistheplanet_search(target, catalog_dir=None):
     """Locate a whereistheplanet.com posterior HDF5 by target name
-    (`io-orbitize.jl:21-49`). Requires a local mirror directory of the
-    whereistheplanet data (no network in this environment): returns the
-    matching file path."""
+    (`io-orbitize.jl:21-49`). `catalog_dir` is a local mirror of the
+    whereistheplanet data; defaults to the registered
+    `whereistheplanet` dataset (stage it under the data root, e.g. an
+    unpacked GitHub archive). Both flat `{target}.h5` mirrors and the
+    reference's `whereistheplanet-master/data/post_{target}.hdf5`
+    archive layout are understood; returns the matching file path."""
     import difflib
     import glob
     import os
 
     if catalog_dir is None:
-        raise RuntimeError(
-            "No network access: pass catalog_dir= pointing at a local "
-            "mirror of the whereistheplanet posteriors."
-        )
-    files = glob.glob(os.path.join(catalog_dir, "*.h5")) + glob.glob(
-        os.path.join(catalog_dir, "*.hdf5")
-    )
-    names = {os.path.splitext(os.path.basename(f))[0].lower(): f for f in files}
+        from ..datadeps import resolve_dataset
+
+        catalog_dir = resolve_dataset("whereistheplanet")
+    files = []
+    for root in (
+        catalog_dir,
+        # the DataDeps archive layout (`io-orbitize.jl:23`)
+        os.path.join(catalog_dir, "whereistheplanet-master", "data"),
+        os.path.join(catalog_dir, "data"),
+    ):
+        for pat in ("*.h5", "*.hdf5"):
+            files += glob.glob(os.path.join(root, pat))
+    names = {}
+    for f in files:
+        stem = os.path.splitext(os.path.basename(f))[0].lower()
+        if stem.startswith("post_"):
+            stem = stem[len("post_"):]
+        names.setdefault(stem, f)
     key = target.lower().replace(" ", "")
     if key in names:
         return names[key]

@@ -33,9 +33,10 @@ def query_nss(gaia_id=None, *, cache_csv=None, row=None) -> dict:
     """Load an NSS two-body-orbit solution.
 
     Provide `row` (a dict of NSS columns) or `cache_csv` (a locally
-    cached TAP result). Live TAP queries (`nss.jl:29-93`) require
-    network access, which this environment does not have; the ADQL is
-    exposed as `NSS_TAP_QUERY` for use elsewhere.
+    cached TAP result); with only `gaia_id` the live TAP path
+    (`net.query_nss_tap`, mirroring `nss.jl:29-93`) is used, which
+    itself falls back to the on-disk response cache so previously
+    fetched solutions work offline.
     """
     if row is not None:
         return dict(row)
@@ -48,8 +49,19 @@ def query_nss(gaia_id=None, *, cache_csv=None, row=None) -> dict:
         if len(df) == 0:
             raise KeyError(f"source {gaia_id} not found in {cache_csv}")
         return {k: df.iloc[0][k] for k in df.columns}
+    if gaia_id is not None:
+        from .net import query_nss_tap
+
+        try:
+            return query_nss_tap(gaia_id)
+        except Exception as e:
+            raise RuntimeError(
+                f"NSS TAP query for {gaia_id} failed ({e!r}); in "
+                "offline environments pass row= (dict of NSS columns) "
+                "or cache_csv=."
+            ) from e
     raise RuntimeError(
-        "No network access: pass row= (dict of NSS columns) or cache_csv=."
+        "Pass gaia_id=, row= (dict of NSS columns), or cache_csv=."
     )
 
 
