@@ -40,6 +40,10 @@ PAGES = [
     "hipparcos.md",
     "fit-coplanar.md",
     "rv-multi-planet.md",
+    "fit-rv-rel.md",
+    "chains-io.md",
+    "quickstart.md",
+    "rv.md",
 ]
 
 _BLOCK_RE = re.compile(r"```python\n(.*?)```", re.DOTALL)

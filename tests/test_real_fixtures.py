@@ -223,3 +223,50 @@ def test_ami_fixture_end_to_end_fit():
     assert 1e-4 < flux.mean() < 1e-1
     a = chain.flat("b_a")
     assert abs(a.mean() - 2.0) < 0.3
+
+
+# ---------------------------------------------------------------------------
+# Sonora model-grid table: the reference ships a real Sonora-format
+# flux table in its tree (`/root/reference/src/sonora_flux_table.txt`,
+# same 31-column layout as the `mag_table±x.x` photometry files that
+# `sonora.jl:133-188` parses: 6 physical columns then MKO/2MASS/Keck/
+# SDSS/IRAC/WISE bands). Parsing it validates our parser against a
+# real published-grid file rather than a synthetic fixture.
+SONORA_FIXTURE = os.path.join(REF, "src", "sonora_flux_table.txt")
+
+
+@pytest.mark.skipif(
+    not os.path.exists(SONORA_FIXTURE), reason="reference fixtures not available"
+)
+def test_sonora_real_table_parses_and_interpolates():
+    from octofitter_tpu.atmosphere import (
+        load_sonora_mag_table,
+        sonora_photometry_interpolator,
+    )
+
+    table = load_sonora_mag_table(SONORA_FIXTURE)
+    # spot-check the first data row of the real file:
+    # 200. 3.000 0.53 0.1180 0.28 -99.00 | MKO: Y=-8.2160 Z=-7.3617
+    # J=-7.5833 H=-7.4646 K=-9.2071 ... WISE_W4=-1.4794
+    i = int(np.argmin(np.abs(table["Teff"] - 200.0)
+                      + np.abs(table["logg"] - 3.0)))
+    assert table["Teff"][i] == 200.0
+    assert table["mass"][i] == pytest.approx(0.53)
+    assert table["R_Rsun"][i] == pytest.approx(0.1180)
+    assert table["MKO_J"][i] == pytest.approx(-7.5833)
+    assert table["MKO_K"][i] == pytest.approx(-9.2071)
+    assert table["WISE_W4"][i] == pytest.approx(-1.4794)
+    # physical ranges of the real grid
+    assert table["Teff"].min() >= 200.0 and table["Teff"].max() <= 2500.0
+    assert np.all(np.diff(np.unique(table["Teff"])) > 0)
+
+    # the interpolator built from the real file reproduces grid values
+    # at (on-grid Teff, mass) points to the RBF-regridding tolerance
+    itp = sonora_photometry_interpolator("MKO_K", SONORA_FIXTURE)
+    val = float(itp(500.0, float(table["mass"][np.argmin(
+        np.abs(table["Teff"] - 500.0))])))
+    j = int(np.argmin(np.abs(table["Teff"] - 500.0)))
+    assert np.isfinite(val)
+    assert val == pytest.approx(float(table["MKO_K"][j]), abs=1.0)
+    # out-of-domain -> NaN (reference extrapolation_bc=NaN)
+    assert np.isnan(float(itp(50.0, 1.0)))
