@@ -126,7 +126,7 @@ def _run_case(model, n_chains=4096, n_warmup=700, n_samples=3000,
               n_chunks=1):
     """Fit one dataset with ChEES; return (min rank-normalized ESS
     across every parameter, max rank-normalized split R-hat, seconds)."""
-    from octofitter_tpu.chains import ess_rhat
+    from octofitter_tpu.chains import ess_rhat_batch
     from octofitter_tpu.samplers.chees import run_chees
     # full initialization pipeline (prior search -> multistart Adam ->
     # L-BFGS -> Laplace), the production octofit path
@@ -152,23 +152,24 @@ def _run_case(model, n_chains=4096, n_warmup=700, n_samples=3000,
 
     # strict accounting: rank-normalized bulk ESS over ALL chains, min
     # across every parameter, with the max rank-normalized split-R-hat
+    # (one vectorized pass over all parameters; exact-match parity with
+    # the scalar loop is tested in tests/test_chains_batch.py)
     s = np.asarray(samples)
-    ess_min, rhat_max = np.inf, 0.0
-    for i in range(s.shape[-1]):
-        ess_i, rhat_i = ess_rhat(s[:, :, i])
-        ess_min = min(ess_min, ess_i)
-        rhat_max = max(rhat_max, rhat_i)
+    ess, rhat = ess_rhat_batch(s)
+    # degenerate (constant / non-finite) columns are excluded, matching
+    # the scalar accounting; all-degenerate -> nan
+    ess_min = float(np.nanmin(ess)) if np.isfinite(ess).any() else float("nan")
+    rhat_max = float(np.nanmax(rhat)) if np.isfinite(rhat).any() else float("nan")
     return ess_min, rhat_max, dt
 
 
 def _chain_ess_rhat(chain):
-    from octofitter_tpu.chains import ess_rhat
+    from octofitter_tpu.chains import ess_rhat_batch
 
-    ess_min, rhat_max = np.inf, 0.0
-    for name in chain.names:
-        ess_i, rhat_i = ess_rhat(chain[name])
-        ess_min = min(ess_min, ess_i)
-        rhat_max = max(rhat_max, rhat_i)
+    x = np.stack([np.asarray(chain[name]) for name in chain.names], axis=-1)
+    ess, rhat = ess_rhat_batch(x)
+    ess_min = float(np.nanmin(ess)) if np.isfinite(ess).any() else float("nan")
+    rhat_max = float(np.nanmax(rhat)) if np.isfinite(rhat).any() else float("nan")
     return ess_min, rhat_max
 
 
@@ -205,15 +206,18 @@ def _run_partial_arc_pt(model, checkpoint_path, n_rounds=9, resume=None):
     return ess_min, rhat_max, dt
 
 
-def _headline_case(n_chains, n_chunks=1):
+def _headline_case(n_chains, n_chunks=1, n_samples=3000):
     model = build_model()
-    ess, rhat, dt = _run_case(model, n_chains=n_chains, n_chunks=n_chunks)
+    ess, rhat, dt = _run_case(model, n_chains=n_chains, n_chunks=n_chunks,
+                              n_samples=n_samples)
     if not np.isfinite(rhat) or rhat > 1.05:
         raise RuntimeError(f"bench sampling did not converge (rhat={rhat})")
     out = {"ess_per_sec": ess / dt, "rhat_max": rhat,
            "n_chains": n_chains}
     if n_chunks > 1:
         out["n_chunks"] = n_chunks
+    if n_samples != 3000:
+        out["n_samples"] = n_samples
     return out
 
 
@@ -487,13 +491,21 @@ def main():
                 )
         elif case == "joint":
             out = bench_joint()
-        elif "x" in case:
-            # "16384x2" = 16384 chains with the leapfrog body split
-            # into 2 sequential sub-batches (axon fault workaround)
-            n, k = case.split("x")
-            out = _headline_case(int(n), n_chunks=int(k))
         else:
-            out = _headline_case(int(case))
+            # headline-case grammar: "N[xK][dS]" — N chains, optional
+            # xK = leapfrog body split into K sequential sub-batches
+            # (axon fault workaround), optional dS = S posterior draws
+            # (amortizes the 700-step warmup; 3000 default)
+            n_samples = 3000
+            if "d" in case:
+                case, s = case.split("d")
+                n_samples = int(s)
+            n_chunks = 1
+            if "x" in case:
+                case, k = case.split("x")
+                n_chunks = int(k)
+            out = _headline_case(int(case), n_chunks=n_chunks,
+                                 n_samples=n_samples)
         print(json.dumps(out), flush=True)
         return
 

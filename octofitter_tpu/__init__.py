@@ -116,7 +116,7 @@ from .io.orbitize import (
 from .net import GOST_forecast, query_gaia_catalog, query_nss_tap, tap_query
 from .samplers import octofit, octofit_rejection, octofit_pigeons, octofit_nested
 from .samplers.nested import dysample
-from .chains import Chains, ess_rhat
+from .chains import Chains, ess_rhat, ess_rhat_batch, ess_tail, ess_tail_batch
 
 
 def describe(chain):

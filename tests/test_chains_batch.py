@@ -1,0 +1,95 @@
+"""Batch (vectorized-over-parameters) ESS/R-hat diagnostics match the
+scalar reference implementation exactly.
+
+The scalar `ess_rhat` is the audited accounting (rank-normalized bulk
+ESS + max of bulk/folded split-R-hat, Vehtari et al. 2021) used by the
+bench gates; `ess_rhat_batch` is the one-pass vectorized version used
+for large chain sets. For continuous float samples the two must agree
+to floating-point roundoff.
+"""
+
+import numpy as np
+import pytest
+
+from octofitter_tpu.chains import (
+    ess_rhat,
+    ess_rhat_batch,
+    ess_tail,
+    ess_tail_batch,
+)
+
+
+def _make_chains(seed=0, m=8, n=512, p=6):
+    rng = np.random.default_rng(seed)
+    # AR(1) chains with per-parameter autocorrelation and per-chain
+    # mean offsets so both ESS < m*n and R-hat > 1 paths are exercised
+    phi = np.linspace(0.0, 0.9, p)
+    eps = rng.standard_normal((m, n, p))
+    x = np.empty((m, n, p))
+    x[:, 0] = eps[:, 0]
+    for t in range(1, n):
+        x[:, t] = phi * x[:, t - 1] + eps[:, t]
+    x += rng.standard_normal((m, 1, p)) * np.linspace(0.0, 0.5, p)
+    return x
+
+
+def test_batch_matches_scalar_ess_rhat():
+    x = _make_chains()
+    ess_b, rhat_b = ess_rhat_batch(x)
+    for j in range(x.shape[-1]):
+        ess_s, rhat_s = ess_rhat(x[:, :, j])
+        assert ess_b[j] == pytest.approx(ess_s, rel=1e-10)
+        assert rhat_b[j] == pytest.approx(rhat_s, rel=1e-10)
+
+
+def test_batch_matches_scalar_ess_tail():
+    x = _make_chains(seed=3)
+    tail_b = ess_tail_batch(x)
+    for j in range(x.shape[-1]):
+        tail_s = ess_tail(x[:, :, j])
+        assert tail_b[j] == pytest.approx(tail_s, rel=1e-10)
+
+
+def test_batch_handles_degenerate_columns():
+    x = _make_chains(seed=1, p=4)
+    x[:, :, 1] = 7.5  # constant
+    x[2, 5, 2] = np.nan  # non-finite
+    ess_b, rhat_b = ess_rhat_batch(x)
+    tail_b = ess_tail_batch(x)
+    for j in (1, 2):
+        assert np.isnan(ess_b[j]) and np.isnan(rhat_b[j]) and np.isnan(tail_b[j])
+    for j in (0, 3):
+        ess_s, rhat_s = ess_rhat(x[:, :, j])
+        assert ess_b[j] == pytest.approx(ess_s, rel=1e-10)
+        assert rhat_b[j] == pytest.approx(rhat_s, rel=1e-10)
+
+
+def test_batch_accepts_2d():
+    x = _make_chains(seed=2, p=1)[:, :, 0]
+    ess_b, rhat_b = ess_rhat_batch(x)
+    ess_s, rhat_s = ess_rhat(x)
+    assert ess_b.shape == (1,) and rhat_b.shape == (1,)
+    assert ess_b[0] == pytest.approx(ess_s, rel=1e-10)
+    assert rhat_b[0] == pytest.approx(rhat_s, rel=1e-10)
+
+
+def test_all_degenerate_returns_nan():
+    x = np.full((4, 64, 2), 3.0)
+    ess_b, rhat_b = ess_rhat_batch(x)
+    assert np.isnan(ess_b).all() and np.isnan(rhat_b).all()
+    assert np.isnan(ess_tail_batch(x)).all()
+
+
+def test_summary_uses_batch_consistently():
+    from octofitter_tpu.chains import Chains
+
+    x = _make_chains(seed=4, p=3)
+    ch = Chains({f"p{j}": x[:, :, j] for j in range(3)})
+    s = ch.summary()
+    for j in range(3):
+        ess_s, rhat_s = ess_rhat(x[:, :, j])
+        assert s[f"p{j}"]["ess"] == pytest.approx(ess_s, rel=1e-10)
+        assert s[f"p{j}"]["rhat"] == pytest.approx(rhat_s, rel=1e-10)
+        assert s[f"p{j}"]["ess_tail"] == pytest.approx(
+            ess_tail(x[:, :, j]), rel=1e-10
+        )

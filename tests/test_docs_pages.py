@@ -44,6 +44,7 @@ PAGES = [
     "chains-io.md",
     "quickstart.md",
     "rv.md",
+    "data-acquisition.md",
 ]
 
 _BLOCK_RE = re.compile(r"```python\n(.*?)```", re.DOTALL)
