@@ -85,6 +85,8 @@ from . import plots
 from .interferometry import (
     InterferometryObs,
     InterferometryLikelihood,
+    AbstractInterferometryObs,
+    AbstractInterferometryLikelihood,
     GRAVITYWideKPObs,
     GRAVITYWideKPLikelihood,
 )
@@ -93,6 +95,7 @@ from .rv import (
     StarAbsoluteRVLikelihood,
     MarginalizedStarAbsoluteRVObs,
     MarginalizedStarAbsoluteRVLikelihood,
+    StarAbsoluteRVMarginLikelihood,
     PlanetRelativeRVObs,
     PlanetRelativeRVLikelihood,
 )

@@ -97,20 +97,47 @@ def ess_rhat(x: np.ndarray):
     return float(ess_bulk), float(rhat)
 
 
+def _half_rank_table(S: int) -> np.ndarray:
+    """Normal scores for every rank value scipy's average-tie ranking
+    can produce on S samples: tie-group averages are always integers or
+    half-integers, so ndtri evaluated once at ranks 1, 1.5, 2, …, S
+    (index = 2·rank − 2) covers distinct AND tied data exactly."""
+    ranks = np.arange(2.0, 2.0 * S + 1.0) / 2.0
+    return ndtri((ranks - 0.375) / (S + 0.25))
+
+
 def _rank_normalize_batch(x: np.ndarray, table=None) -> np.ndarray:
     """Vectorized `_rank_normalize` over the leading axis; x shape
-    (P, S). For distinct values (the continuous-sample case) ordinal
-    ranks from an argsort equal scipy's average-tie ranks, so this
-    matches the scalar path exactly. The normal scores for ranks 1..S
-    are a fixed table independent of the data, so ndtri runs once on an
-    S-vector and is scattered through the argsort directly (pass
-    `table` to amortize it across calls)."""
+    (P, S). Matches scipy's rankdata(method="average") exactly,
+    including tied samples — real sampler output always has ties
+    (an MH rejection duplicates the previous draw), and ordinal ranks
+    would systematically overstate ESS there. ndtri never runs on the
+    data: all possible average ranks are half-integers, looked up in
+    the precomputed `table` (see `_half_rank_table`; pass it in to
+    amortize across calls). Rows are processed one at a time — the
+    (P, S) sort/take temporaries at bench scale (P≈13, S≈2.5e7) blow
+    the cache and peak memory otherwise."""
     P, S = x.shape
     if table is None:
-        table = ndtri((np.arange(1.0, S + 1.0) - 0.375) / (S + 0.25))
-    order = np.argsort(x, axis=1)
+        table = _half_rank_table(S)
+    distinct_scores = table[::2]  # integer ranks 1..S
     z = np.empty((P, S), dtype=np.float64)
-    np.put_along_axis(z, order, np.broadcast_to(table, (P, S)), axis=1)
+    for p in range(P):
+        order = np.argsort(x[p])
+        s = x[p, order]
+        boundary = np.empty(S, dtype=bool)
+        boundary[0] = True
+        np.not_equal(s[1:], s[:-1], out=boundary[1:])
+        starts = np.flatnonzero(boundary)
+        if starts.size == S:  # no ties: ordinal == average ranks
+            z[p, order] = distinct_scores
+        else:
+            ends = np.append(starts[1:], S)
+            # 1-based ranks starts+1 .. ends average to
+            # (starts+ends+1)/2 → table index starts+ends-1
+            z[p, order] = np.repeat(
+                table[starts + ends - 1], ends - starts
+            )
     return z
 
 
@@ -185,7 +212,7 @@ def _split_ess_rhat_raw_batch(x: np.ndarray, compute_ess: bool = True):
 def ess_rhat_batch(x: np.ndarray):
     """Rank-normalized bulk ESS and split-R̂ for every parameter at
     once; x shape (chains, draws, P). Identical accounting to looping
-    `ess_rhat` over the last axis (exact for distinct float samples),
+    `ess_rhat` over the last axis (exact, including tied samples),
     but one vectorized pass — the per-parameter python loop dominates
     wall time for the 10⁷-draw chains the TPU samplers produce.
     Returns (ess (P,), rhat (P,)); non-finite or constant parameters
@@ -200,7 +227,7 @@ def ess_rhat_batch(x: np.ndarray):
         return np.full(P, np.nan), np.full(P, np.nan)
     sub = flat if ok.all() else flat[ok]
     S = sub.shape[1]
-    table = ndtri((np.arange(1.0, S + 1.0) - 0.375) / (S + 0.25))
+    table = _half_rank_table(S)
     z = _rank_normalize_batch(sub, table).reshape(-1, m, n)
     ess_b, rhat_b = _split_ess_rhat_raw_batch(z)
     folded = np.abs(sub - np.median(sub, axis=1, keepdims=True))

@@ -3,6 +3,8 @@
 from .likelihoods import (
     InterferometryObs,
     InterferometryLikelihood,
+    AbstractInterferometryObs,
+    AbstractInterferometryLikelihood,
     cvis_point_sources,
     closure_phases_deg,
 )
@@ -16,6 +18,8 @@ from .gravity import (
 __all__ = [
     "InterferometryObs",
     "InterferometryLikelihood",
+    "AbstractInterferometryObs",
+    "AbstractInterferometryLikelihood",
     "cvis_point_sources",
     "closure_phases_deg",
     "load_oifits",

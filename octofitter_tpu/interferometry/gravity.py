@@ -19,6 +19,7 @@ import numpy as np
 from ..atmosphere import interp2d_bilinear
 from ..model.params import Params
 from ..model.variables import AbstractObs, SystemObservationContext
+from .likelihoods import AbstractInterferometryObs
 from ..likelihoods.utils import take_epochs
 from ..orbits import decoff, projectedseparation, raoff
 from .likelihoods import closure_phases_deg, cvis_point_sources
@@ -79,7 +80,7 @@ def _kernel_phase_basis(n_wave: int, T=_T_GRAVITY):
     return P1[:, :i_max].T  # (i_max, 4*n_wave) -> rows are KP combinations
 
 
-class GRAVITYWideKPObs(AbstractObs):
+class GRAVITYWideKPObs(AbstractInterferometryObs):
     """GRAVITY wide-field kernel phases.
 
     observations: per-epoch dicts with keys epoch, u, v

@@ -50,7 +50,12 @@ def closure_phases_deg(cvis, i1, i2, i3):
     return phi[i1, :] + phi[i2, :] - phi[i3, :]
 
 
-class InterferometryObs(AbstractObs):
+class AbstractInterferometryObs(AbstractObs):
+    """Supertype of interferometric observation objects (reference
+    `OctofitterInterferometry.jl:10` AbstractInterferometryLikelihood)."""
+
+
+class InterferometryObs(AbstractInterferometryObs):
     """Closure phases + V^2 from interferometric observations.
 
     observations: list of per-epoch dicts with keys
@@ -164,3 +169,4 @@ class InterferometryObs(AbstractObs):
 
 
 InterferometryLikelihood = InterferometryObs
+AbstractInterferometryLikelihood = AbstractInterferometryObs

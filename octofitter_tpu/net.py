@@ -98,13 +98,17 @@ def tap_query(adql, *, url=None, opener=None, timeout=60.0) -> str:
 def parse_tap_csv_row(text: str) -> dict:
     """First data row of a TAP CSV response as {column: float|str}
     (`gaia-utils.jl:210-217`: floats where parseable)."""
-    lines = [ln for ln in text.splitlines() if ln.strip()]
-    if len(lines) < 2:
+    import csv
+    import io
+
+    rows = [r for r in csv.reader(io.StringIO(text)) if any(
+        c.strip() for c in r)]
+    if len(rows) < 2:
         raise KeyError("TAP response contains no data row")
-    headers = [h.strip() for h in lines[0].split(",")]
-    cells = lines[1].split(",")
-    if len(cells) < len(headers):
-        raise KeyError("TAP response row shorter than header")
+    headers = [h.strip() for h in rows[0]]
+    cells = rows[1]
+    if len(cells) != len(headers):
+        raise KeyError("TAP response row length does not match header")
     row = {}
     for k, v in zip(headers, cells):
         try:
@@ -112,6 +116,17 @@ def parse_tap_csv_row(text: str) -> dict:
         except ValueError:
             row[k] = v.strip()
     return row
+
+
+def _atomic_write(fname, data):
+    """Write bytes/str to `fname` via a temp file + os.replace so an
+    interrupted write (alarm, Ctrl-C, OOM) can never leave a truncated
+    file behind — these caches are trusted by every later run."""
+    mode = "wb" if isinstance(data, bytes) else "w"
+    tmp = fname + ".part"
+    with open(tmp, mode) as f:
+        f.write(data)
+    os.replace(tmp, fname)
 
 
 def query_gaia_catalog(gaia_id, release="dr3", *, cache_dir=None,
@@ -139,8 +154,7 @@ def query_gaia_catalog(gaia_id, release="dr3", *, cache_dir=None,
         )
         row = parse_tap_csv_row(text)  # validate before caching
         os.makedirs(sub, exist_ok=True)
-        with open(fname, "w") as f:
-            f.write(text)
+        _atomic_write(fname, text)
         return row
     return parse_tap_csv_row(text)
 
@@ -162,8 +176,7 @@ def query_nss_tap(gaia_id, *, url=None, opener=None,
     )
     row = parse_tap_csv_row(text)
     os.makedirs(sub, exist_ok=True)
-    with open(fname, "w") as f:
-        f.write(text)
+    _atomic_write(fname, text)
     return row
 
 
@@ -212,6 +225,12 @@ def GOST_forecast(ra_deg, dec_deg, *, baseline="dr3", cache_dir=None,
     if opener is None:
         opener, _ = build_opener(cookies=True)
     jar = getattr(opener, "_octofitter_cookiejar", None)
+    if jar is None:
+        # caller-supplied opener: find its cookie jar, if any
+        for h in getattr(opener, "handlers", []):
+            if isinstance(h, urllib.request.HTTPCookieProcessor):
+                jar = h.cookiejar
+                break
 
     # 1. open a session (sets JSESSIONID)
     http_request(base_url, opener=opener, timeout=timeout)
@@ -229,8 +248,11 @@ def GOST_forecast(ra_deg, dec_deg, *, baseline="dr3", cache_dir=None,
         base_url.rstrip("/") + "/GostServlet",
         data=form, opener=opener, timeout=timeout,
     ).decode("utf-8", errors="replace")
+    # case-sensitive, matching the reference's contains(body, "error")
+    # (`gaia-utils.jl:775`): the success page may legitimately contain
+    # "Error"/"onerror" in markup
     m = re.search(r"Submitted with id (\d+)", body)
-    if m is None or "error" in body.lower():
+    if m is None or "error" in body:
         raise IOError(
             f"GOST submission failed; response began: {body[:200]!r}"
         )
@@ -245,8 +267,7 @@ def GOST_forecast(ra_deg, dec_deg, *, baseline="dr3", cache_dir=None,
     if not csv_bytes.strip():
         raise IOError("Empty response from GOST service. Rate limited?")
     os.makedirs(root, exist_ok=True)
-    with open(fname, "wb") as f:
-        f.write(csv_bytes)
+    _atomic_write(fname, csv_bytes)
     return _dedup_scan_table(load_gost_csv(fname))
 
 
@@ -276,6 +297,13 @@ def _gost_from_catalog(path, ra_deg, dec_deg, max_sep_mas=500.0):
         )
     ra = np.asarray(df[ra_col], dtype=float)
     dec = np.asarray(df[dec_col], dtype=float)
+    # Julia isapprox default: rtol = sqrt(eps(Float64)), atol = 0
+    isapprox_rtol = 1.4901161193847656e-08
+    # NOTE: the radian differences are scaled by the DEGREE->mas factor
+    # (3600e3, not rad2deg*3600e3). This reproduces the reference's
+    # arithmetic exactly (`gaia-utils.jl:723-726`), so the 500 "mas"
+    # acceptance radius means the same thing against the same catalogs;
+    # do not "fix" the units here.
     d_mas = np.hypot(
         (ra - np.deg2rad(ra_deg)) * 3600e3 * np.cos(np.deg2rad(dec_deg)),
         (dec - np.deg2rad(dec_deg)) * 3600e3,
@@ -286,7 +314,12 @@ def _gost_from_catalog(path, ra_deg, dec_deg, max_sep_mas=500.0):
             f"no target within {max_sep_mas} mas of "
             f"({ra_deg}, {dec_deg}) in {path}; closest {d_mas[i]:.0f} mas"
         )
-    mask = np.isclose(ra, ra[i]) & np.isclose(dec, dec[i])
+    # match the reference's isapprox tolerance (`gaia-utils.jl:731`) —
+    # np.isclose's default rtol=1e-5 is loose enough to merge rows from
+    # a neighboring target a few arcsec away
+    mask = np.isclose(ra, ra[i], rtol=isapprox_rtol, atol=0.0) & np.isclose(
+        dec, dec[i], rtol=isapprox_rtol, atol=0.0
+    )
     # only numeric columns survive the scan-table conversion (the bulk
     # database carries the same string time/FoV columns as GOST CSVs)
     return _dedup_scan_table(
@@ -302,11 +335,20 @@ def _dedup_scan_table(table, min_dt_days=1e-4):
     """Drop duplicate scan rows closer than ~8.6 s in time
     (`_sort_dedup_gost`, `gaia-utils.jl:803-831`): real field-of-view
     transits are >= 1.7 h apart, so anything closer is a duplicated
-    catalog block. `load_gost_csv` already time-sorts."""
+    catalog block. `load_gost_csv` already time-sorts. The comparison
+    is anchored to the last KEPT epoch (reference `:817-822`), so a
+    chain of near-duplicates collapses onto its first row rather than
+    deleting later distinct scans."""
     t = np.asarray(table["epoch"])
     if len(t) == 0:
         return table
-    keep = np.concatenate([[True], np.diff(t) > min_dt_days])
-    if keep.all():
+    if (np.diff(t) > min_dt_days).all():
         return table
+    keep = []
+    last_t = -np.inf
+    for i, ti in enumerate(t):
+        if ti - last_t > min_dt_days:
+            keep.append(i)
+            last_t = ti
+    keep = np.asarray(keep)
     return {k: np.asarray(v)[keep] for k, v in table.items()}

@@ -5,6 +5,7 @@ from .likelihoods import (
     StarAbsoluteRVLikelihood,
     MarginalizedStarAbsoluteRVObs,
     MarginalizedStarAbsoluteRVLikelihood,
+    StarAbsoluteRVMarginLikelihood,
     PlanetRelativeRVObs,
     PlanetRelativeRVLikelihood,
 )
@@ -38,6 +39,7 @@ __all__ = [
     "StarAbsoluteRVLikelihood",
     "MarginalizedStarAbsoluteRVObs",
     "MarginalizedStarAbsoluteRVLikelihood",
+    "StarAbsoluteRVMarginLikelihood",
     "PlanetRelativeRVObs",
     "PlanetRelativeRVLikelihood",
     "Kernel",

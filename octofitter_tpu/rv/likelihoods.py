@@ -296,4 +296,6 @@ class PlanetRelativeRVObs(_BaseRVObs):
 
 StarAbsoluteRVLikelihood = StarAbsoluteRVObs
 MarginalizedStarAbsoluteRVLikelihood = MarginalizedStarAbsoluteRVObs
+# reference also exports this shorter alias (OctofitterRadialVelocity.jl)
+StarAbsoluteRVMarginLikelihood = MarginalizedStarAbsoluteRVObs
 PlanetRelativeRVLikelihood = PlanetRelativeRVObs

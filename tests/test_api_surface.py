@@ -34,6 +34,8 @@ APPENDIX_A = [
     "ImageObs", "ImageLikelihood",
     "LogLikelihoodMapObs", "LogLikelihoodMap",
     "InterferometryObs", "InterferometryLikelihood",
+    "AbstractInterferometryObs", "AbstractInterferometryLikelihood",
+    "StarAbsoluteRVMarginLikelihood",
     "GRAVITYWideKPObs", "GRAVITYWideKPLikelihood",
     "LightCurveObs", "LightCurveLikelihood",
     # inference

@@ -42,6 +42,25 @@ def test_batch_matches_scalar_ess_rhat():
         assert rhat_b[j] == pytest.approx(rhat_s, rel=1e-10)
 
 
+def test_batch_matches_scalar_with_ties():
+    """Real sampler output always contains exact ties (an MH rejection
+    duplicates the previous draw); average-tie ranking must match the
+    scalar rankdata(method='average') path exactly."""
+    rng = np.random.default_rng(7)
+    x = _make_chains(seed=5, p=4)
+    # MH-style rejection duplicates: ~30% of draws repeat the previous
+    rej = rng.random((x.shape[0], x.shape[1], x.shape[2])) < 0.3
+    for t in range(1, x.shape[1]):
+        x[:, t] = np.where(rej[:, t], x[:, t - 1], x[:, t])
+    # plus a heavily quantized column (many multi-way ties)
+    x[:, :, 3] = np.round(x[:, :, 3] * 2.0) / 2.0
+    ess_b, rhat_b = ess_rhat_batch(x)
+    for j in range(x.shape[-1]):
+        ess_s, rhat_s = ess_rhat(x[:, :, j])
+        assert ess_b[j] == pytest.approx(ess_s, rel=1e-10)
+        assert rhat_b[j] == pytest.approx(rhat_s, rel=1e-10)
+
+
 def test_batch_matches_scalar_ess_tail():
     x = _make_chains(seed=3)
     tail_b = ess_tail_batch(x)
