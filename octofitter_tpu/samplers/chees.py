@@ -263,6 +263,7 @@ def run_chees(
     adam_lr: float = 0.025,
     warmup_state: dict | None = None,
     n_chunks: int = 1,
+    drop_warmup: bool = True,
 ):
     """Warmup + sample with cross-chain ChEES adaptation.
 
@@ -275,6 +276,9 @@ def run_chees(
     warmup_state: dict(step_size, trajectory_length, sigma) from a
     previous run's info — skips warmup entirely and samples with the
     saved tuning (checkpoint-resume of the sampler state).
+    drop_warmup: when False, the adaptation-phase draws are recorded
+    and prepended to the returned draws (reference octofit
+    `drop_warmup`, `sampling.jl:129`).
     """
     theta0_batch = jnp.asarray(theta0_batch)
     C, D = theta0_batch.shape
@@ -398,11 +402,15 @@ def run_chees(
                 "metric": metric_new,
                 "key": key,
             }
-            return carry_new, (stats.is_divergent.sum(), jnp.exp(log_T))
+            out = (stats.is_divergent.sum(), jnp.exp(log_T))
+            if not drop_warmup:  # record adaptation draws too
+                out = out + ((Theta, lp, stats),)
+            return carry_new, out
 
-        carry, (wdivs, T_trace) = jax.lax.scan(
+        carry, warm_scanned = jax.lax.scan(
             warm_step, carry0, (halton_w, is_slow, window_end)
         )
+        wdivs, T_trace = warm_scanned[:2]
 
         eps_f = jnp.exp(carry["da"].log_eps_avg)
         T_f = jnp.exp(carry["log_T"])
@@ -422,6 +430,13 @@ def run_chees(
             (carry["Theta"], carry["lp"], carry["Grad"], carry["key"]),
             halton_s,
         )
+        if not drop_warmup:
+            w_Thetas, w_lps, w_stats = warm_scanned[2]
+            Thetas = jnp.concatenate([w_Thetas, Thetas], axis=0)
+            lps = jnp.concatenate([w_lps, lps], axis=0)
+            stats = jax.tree.map(
+                lambda a, b: jnp.concatenate([a, b], axis=0), w_stats, stats
+            )
         # scan stacks on axis 0 = draws; move chains first
         samples = jnp.moveaxis(Thetas, 0, 1)
         lps_out = jnp.moveaxis(lps, 0, 1)

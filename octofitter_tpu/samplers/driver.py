@@ -151,6 +151,8 @@ def octofit(
     metric: str = "dense",
     sampler: str | None = None,
     profile_dir: str | None = None,
+    step_size: float | None = None,
+    drop_warmup: bool = True,
 ):
     """Sample the posterior with a vectorized transition (ChEES default).
 
@@ -160,6 +162,10 @@ def octofit(
     `chains` may be thousands on a TPU chip. Unset arguments resolve
     from the typed config (OCTOFITTER_* env overrides; config.py).
     profile_dir: capture a JAX profiler trace of the run there.
+    step_size: manual initial step size (reference `sampling.jl:133`);
+    skips the automatic search, adaptation still refines it.
+    drop_warmup: when False, adaptation draws are kept at the start of
+    the chain (reference `sampling.jl:129`); chees/nuts/hmc only.
     """
     from ..config import get_config
 
@@ -182,6 +188,7 @@ def octofit(
                 max_depth=max_depth, verbosity=verbosity,
                 starting_points=starting_points, metric=metric,
                 sampler=sampler, profile_dir="",
+                step_size=step_size, drop_warmup=drop_warmup,
             )
     if key is None:
         key = jax.random.PRNGKey(0)
@@ -225,6 +232,12 @@ def octofit(
     if sampler == "gibbs":
         from .gibbs import run_gibbs
 
+        if not drop_warmup or step_size is not None:
+            raise ValueError(
+                "drop_warmup=False / step_size= are not supported by the "
+                "Gibbs-within-HMC sampler (used for large discrete "
+                "domains); use the default adaptation instead"
+            )
         samples, lps, stats, info = run_gibbs(
             model,
             theta0,
@@ -251,6 +264,9 @@ def octofit(
             # on plateau posteriors the adapted length can otherwise
             # run to 2**max_depth leapfrogs per step
             max_leapfrog=min(2**max_depth, 1024),
+            drop_warmup=drop_warmup,
+            **({} if step_size is None else
+               {"initial_step_size": step_size}),
         )
     else:
         # known TPU-backend cliff: the iterative-NUTS program (nested
@@ -286,6 +302,8 @@ def octofit(
             metric=metric,
             initial_sigma=initial_sigma,
             sampler=sampler,
+            initial_step_size=step_size,
+            drop_warmup=drop_warmup,
         )
     jax.block_until_ready(samples)
     t_sampling = time.perf_counter() - t0

@@ -493,6 +493,8 @@ def _warmup_single(
     target_accept,
     sigma0,
     transition=None,
+    initial_step_size=None,
+    record=False,
 ):
     if transition is None:
         transition = nuts_step
@@ -504,9 +506,15 @@ def _warmup_single(
     lp0, grad0 = value_and_grad(theta0)
     metric0 = metric_from_sigma(sigma0)
     key, k_eps = jax.random.split(key)
-    eps0 = find_reasonable_step_size(
-        value_and_grad, theta0, lp0, grad0, k_eps, metric0
-    )
+    if initial_step_size is None:
+        eps0 = find_reasonable_step_size(
+            value_and_grad, theta0, lp0, grad0, k_eps, metric0
+        )
+    else:
+        # manual override (reference octofit step_size= kwarg,
+        # `sampling.jl:133`): seed dual averaging here instead of the
+        # automatic search; adaptation still refines it
+        eps0 = jnp.asarray(initial_step_size, dtype)
 
     carry0 = {
         "theta": theta0,
@@ -567,11 +575,15 @@ def _warmup_single(
             "metric": metric,
             "key": key,
         }
-        return carry_new, stats.is_divergent
+        out = stats.is_divergent
+        if record:  # keep warmup draws (octofit drop_warmup=False)
+            out = (out, (theta, lp, stats))
+        return carry_new, out
 
-    carry, divs = jax.lax.scan(step, carry0, (is_slow, window_end))
+    carry, scanned = jax.lax.scan(step, carry0, (is_slow, window_end))
+    divs = scanned[0] if record else scanned
     eps_final = jnp.exp(carry["da"].log_eps_avg)
-    return (
+    out = (
         carry["theta"],
         carry["lp"],
         carry["grad"],
@@ -580,6 +592,9 @@ def _warmup_single(
         carry["key"],
         jnp.sum(divs),
     )
+    if record:
+        out = out + (scanned[1],)
+    return out
 
 
 def _sample_single(
@@ -622,6 +637,8 @@ def run_nuts(
     metric: str = "dense",
     initial_sigma=None,
     sampler: str = "nuts",
+    initial_step_size=None,
+    drop_warmup: bool = True,
 ):
     """Warmup + sample a batch of chains; fully jitted and vmapped.
 
@@ -634,6 +651,12 @@ def run_nuts(
     `sampling.jl:336-363`) or "diag".
     initial_sigma: optional (D,)/(D,D) initial M^{-1} shared by chains,
     e.g. the covariance of the starting points.
+    initial_step_size: manual initial step size (skips the automatic
+    search; adaptation still refines it) — reference octofit
+    `step_size=` (`sampling.jl:133`).
+    drop_warmup: when False, warmup draws are recorded and prepended
+    to the returned draws (reference octofit `drop_warmup`,
+    `sampling.jl:129`).
     Returns (samples [chains, draws, D], lps [chains, draws], stats
     pytree with leading [chains, draws] axes, warmup info dict).
     """
@@ -663,15 +686,18 @@ def run_nuts(
         if metric == "diag" and sigma0.ndim == 2:
             sigma0 = jnp.diag(sigma0)
 
+    record = not drop_warmup
+
     @jax.jit
     def _run(theta0_batch, keys, sigma0):
         warm = jax.vmap(
             lambda th, k: _warmup_single(
                 value_and_grad, th, k, n_warmup, schedule, max_depth,
-                target_accept, sigma0, transition,
+                target_accept, sigma0, transition, initial_step_size,
+                record,
             )
         )(theta0_batch, keys)
-        theta_w, lp_w, grad_w, eps_f, metric_f, keys_f, wdivs = warm
+        theta_w, lp_w, grad_w, eps_f, metric_f, keys_f, wdivs = warm[:7]
 
         samples, lps, stats = jax.vmap(
             lambda th, lp, g, k, e, m: _sample_single(
@@ -679,6 +705,14 @@ def run_nuts(
                 transition,
             )
         )(theta_w, lp_w, grad_w, keys_f, eps_f, metric_f)
+        if record:
+            # vmapped per-chain scans stack draws on axis 1 already
+            w_thetas, w_lps, w_stats = warm[7]
+            samples = jnp.concatenate([w_thetas, samples], axis=1)
+            lps = jnp.concatenate([w_lps, lps], axis=1)
+            stats = jax.tree.map(
+                lambda a, b: jnp.concatenate([a, b], axis=1), w_stats, stats
+            )
         return samples, lps, stats, {
             "step_size": eps_f,
             "sigma": metric_f.sigma,

@@ -232,3 +232,42 @@ def test_octofit_chees_astrometry():
     assert summ["b_a"]["rhat"] < 1.05
     assert summ["b_a"]["ess"] > 500
     assert chain.info["sampler"] == "chees_vectorized"
+
+
+def test_drop_warmup_false_prepends_identical_warmup_draws():
+    """drop_warmup=False (reference octofit kwarg, sampling.jl:129)
+    records the adaptation draws ahead of the kept draws without
+    changing the RNG stream: the tail must equal the drop_warmup=True
+    run bit-for-bit. Also covers the manual step_size seed."""
+    from octofitter_tpu.samplers.chees import run_chees
+    from octofitter_tpu.samplers.nuts import run_nuts
+
+    def lp(x):
+        return -0.5 * jnp.sum(x**2)
+
+    vg = jax.value_and_grad(lp)
+    theta0 = jax.random.normal(jax.random.PRNGKey(0), (8, 3))
+    key = jax.random.PRNGKey(1)
+    W, S = 60, 40
+
+    for runner, kw in (
+        (run_chees, dict(max_leapfrog=16)),
+        (run_nuts, dict(max_depth=5, initial_step_size=0.3)),
+    ):
+        s_drop, lps_drop, st_drop, _ = runner(
+            vg, theta0, key, n_warmup=W, n_samples=S, **kw
+        )
+        s_keep, lps_keep, st_keep, _ = runner(
+            vg, theta0, key, n_warmup=W, n_samples=S,
+            drop_warmup=False, **kw,
+        )
+        assert s_keep.shape == (8, W + S, 3)
+        assert lps_keep.shape == (8, W + S)
+        assert st_keep.acceptance_rate.shape == (8, W + S)
+        np.testing.assert_array_equal(
+            np.asarray(s_keep[:, W:]), np.asarray(s_drop)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(lps_keep[:, W:]), np.asarray(lps_drop)
+        )
+        assert np.isfinite(np.asarray(s_keep)).all()
