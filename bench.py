@@ -173,8 +173,13 @@ def _chain_ess_rhat(chain):
     return ess_min, rhat_max
 
 
+# Walker scaling measured on-chip (2026-08-19, 9 rounds, rhat ~1.037
+# at every size): 256 walkers ~100 ESS/s, 512 -> 139, 1024 -> 229,
+# 2048 -> 310, 4096 -> 369 ESS/s (373 s sampling) — sweeps are
+# vectorized over walkers so wall time grows far slower than ESS.
+# 4096 is the best measured config that fits the stage-1 alarm.
 _PA_KWARGS = dict(
-    n_chains=8, n_chains_variational=8, n_walkers=256,
+    n_chains=8, n_chains_variational=8, n_walkers=4096,
     explorer="chees", explorer_n_leapfrog=512, verbosity=0,
 )
 
@@ -191,8 +196,8 @@ def _run_partial_arc_pt(model, checkpoint_path, n_rounds=9, resume=None):
     production path for such posteriors (single-temperature chains
     report rhat > 1.3 regardless of budget). Measured on v5e with the
     device-resident sweep (zero per-sweep host syncs): 9 rounds
-    (1022 sweeps, 256 walkers) in ~95 s at rhat_max ~1.040 and
-    ~90 ESS/s. Returns (min rank-normalized ESS across params, max
+    (1022 sweeps, 4096 walkers) in ~374 s at rhat_max ~1.037 and
+    ~369 ESS/s. Returns (min rank-normalized ESS across params, max
     rank-normalized split R-hat, seconds)."""
     from octofitter_tpu.samplers.tempering import octofit_pigeons
 
@@ -294,7 +299,8 @@ def bench_partial_arc_pt():
     and initialized ONCE (its own alarm); a 1-round warmup then fills
     the compile cache (the sweep program is shape-identical across
     rounds), so the timed stages start compile-warm. Stage 1 runs the
-    9-round configuration (measured rhat ~1.040 in ~95 s) with a round
+    9-round 4096-walker configuration (measured rhat ~1.037 in ~374 s)
+    with a round
     checkpoint — a stage-1 timeout resumes from that checkpoint instead
     of losing the run. If the 9-round rhat still misses the 1.05 gate,
     stage 2 resumes the shadow-adapted ".final.npz" continuation for a
