@@ -45,6 +45,7 @@ PAGES = [
     "quickstart.md",
     "rv.md",
     "data-acquisition.md",
+    "g23h.md",
 ]
 
 _BLOCK_RE = re.compile(r"```python\n(.*?)```", re.DOTALL)
