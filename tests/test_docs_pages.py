@@ -46,6 +46,8 @@ PAGES = [
     "rv.md",
     "data-acquisition.md",
     "g23h.md",
+    "rv-gp.md",
+    "astrom-pma-rv.md",
 ]
 
 _BLOCK_RE = re.compile(r"```python\n(.*?)```", re.DOTALL)
