@@ -287,7 +287,7 @@ def octoplot(
 
 @_savable
 def rvpostplot(model, chain, axs=None, n_draws=50, planet_name=None,
-               sample_idx=None, fname=None):
+               sample_idx=None):
     """Phase-folded RV plot with a residual panel and GP conditioning
     (`OctofitterRadialVelocity/ext/...MakieExt.jl` rvpostplot).
 
@@ -387,6 +387,4 @@ def rvpostplot(model, chain, axs=None, n_draws=50, planet_name=None,
     ax_res.set_xlabel("orbital phase")
     if rv_obs:
         ax.legend(fontsize=8)
-    if fname is not None:
-        ax.figure.savefig(fname, dpi=120)
     return axs
