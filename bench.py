@@ -53,13 +53,14 @@ except Exception:
 BASELINE_ESS_PER_SEC = 200.0
 BASELINE_SOLVES_PER_SEC = 1.0 / 47e-9
 
-# Global wall-clock budget. Round 3's bench was killed by the driver
-# (rc=124) after the pure-upside upgrade subprocesses pushed the total
-# past the driver's timeout — every gated metric had printed, but the
-# process did not exit cleanly. The budget makes the bench
-# self-limiting: optional phases are skipped (with a stderr note) when
-# the remaining budget can't cover them, so the process always exits 0
-# with the cumulative JSON as the last line.
+# Global wall-clock budget. Rounds 3 AND 4 were killed by the driver
+# (rc=124): SIGALRM phase bounds cannot pre-empt a stalled C call (a
+# 15+ min axon backend *init* stall was observed 2026-08-19, and remote
+# compiles block in C), so the in-process global budget was demonstrably
+# not honored. Round 5 therefore runs EVERY phase as a subprocess with a
+# hard `subprocess.run(timeout=)` (SIGKILL) — the orchestrator process
+# itself never initializes the backend, so nothing can stall it, and it
+# always exits 0 with the cumulative JSON as the last line.
 _BENCH_T0 = time.perf_counter()
 _BENCH_BUDGET_S = float(_os.environ.get("OCTOFITTER_BENCH_BUDGET_S", 3300))
 
@@ -190,25 +191,68 @@ def _build_partial_arc_model():
     return model
 
 
-def _run_partial_arc_pt(model, checkpoint_path, n_rounds=9, resume=None):
+def bench_partial_arc(n_walkers=4096, stage2=False):
     """Hard-geometry secondary: the partial-arc (a,e,tp)-ridge dataset
     sampled with variational parallel tempering (chees explorer) — the
     production path for such posteriors (single-temperature chains
     report rhat > 1.3 regardless of budget). Measured on v5e with the
     device-resident sweep (zero per-sweep host syncs): 9 rounds
     (1022 sweeps, 4096 walkers) in ~374 s at rhat_max ~1.037 and
-    ~369 ESS/s. Returns (min rank-normalized ESS across params, max
-    rank-normalized split R-hat, seconds)."""
+    ~369 ESS/s.
+
+    Runs as an externally-bounded subprocess case. Round checkpoints
+    are written at a deterministic path, so a killed attempt resumes
+    from the last round boundary (bit-identical to an uninterrupted
+    run, tests/test_checkpoint.py); a `.t0` sidecar records the wall
+    clock at the first attempt's sampling start so resumed attempts
+    report honest cumulative ESS/s. `stage2` resumes the
+    shadow-adapted `.final.npz` continuation for a 10th,
+    twice-as-long round (used when the 9-round rhat misses the 1.05
+    gate)."""
+    import os
+    import tempfile
+
     from octofitter_tpu.samplers.tempering import octofit_pigeons
 
-    t0 = time.perf_counter()
+    cp = os.path.join(tempfile.gettempdir(), f"bench_pa_cp_{n_walkers}.npz")
+    t0_path = cp + ".t0"
+    kwargs = dict(_PA_KWARGS, n_walkers=n_walkers)
+
+    model = _build_partial_arc_model()
+    # 1-round warmup fills the compile cache (the sweep program is
+    # shape-identical across rounds) so the timed run starts
+    # compile-warm; with the persistent cache already seeded this
+    # costs seconds.
+    octofit_pigeons(model, n_rounds=1, key=jax.random.PRNGKey(1), **kwargs)
+
+    resume = None
+    n_rounds = 9
+    if stage2:
+        resume, n_rounds = cp + ".final.npz", 10
+    elif os.path.exists(cp):
+        resume = cp  # killed earlier attempt: continue from round boundary
+
+    if os.path.exists(t0_path):
+        with open(t0_path) as f:
+            t_start = float(f.read())
+    else:
+        t_start = time.time()
+        with open(t0_path, "w") as f:
+            f.write(repr(t_start))
+
     chain, info = octofit_pigeons(
         model, n_rounds=n_rounds, key=jax.random.PRNGKey(1),
-        checkpoint=checkpoint_path, resume=resume, **_PA_KWARGS,
+        checkpoint=cp, resume=resume, **kwargs,
     )
-    dt = time.perf_counter() - t0
     ess_min, rhat_max = _chain_ess_rhat(chain)
-    return ess_min, rhat_max, dt
+    out = {
+        "partial_arc_pt_ess_per_sec": ess_min / (time.time() - t_start),
+        "partial_arc_pt_rhat_max": rhat_max,
+        "partial_arc_pt_rounds": n_rounds,
+    }
+    if n_walkers != 4096:
+        out["partial_arc_pt_n_walkers"] = n_walkers
+    return out
 
 
 def _headline_case(n_chains, n_chunks=1, n_samples=3000):
@@ -226,29 +270,35 @@ def _headline_case(n_chains, n_chunks=1, n_samples=3000):
     return out
 
 
-def _try_case_subprocess(case, ess_key, rhat_key, attempts=2,
-                         timeout_s=1200):
-    """Pure-upside chain-count upgrades (e.g. 8192 chains measured 816k
-    ESS/s vs 762k at 4096 on v5e) run in an isolated subprocess: the
-    axon backend kernel-faults INTERMITTENTLY (~1 in 2 runs) on the
-    larger program shapes, and on a slow remote-compile day the whole
-    attempt can time out — neither may take down the bench. These run
-    LAST, after every gated metric has printed, so a failure costs only
-    its own budget. A timed-out attempt still seeds the persistent
-    compilation cache, so the retry starts compile-warm."""
+def _run_phase(case, timeout_s, attempts=2, min_budget=300.0,
+               validate=None, error_key=None):
+    """Run one bench phase as a hard-timeout subprocess and return its
+    JSON dict (or an {error_key: ...} dict / None).
+
+    This is the round-5 delivery fix: rounds 3 and 4 both shipped
+    rc=124 driver artifacts because SIGALRM phase bounds cannot
+    pre-empt a stalled C call (axon backend init, remote compile). A
+    subprocess with `subprocess.run(timeout=)` is killed
+    unconditionally, the orchestrator never initializes the backend
+    itself, and a timed-out attempt still seeds the persistent
+    compilation cache so the retry resumes compile progress. Phase
+    budgets are clamped to the remaining global budget; a phase that
+    no longer fits is skipped with a stderr note."""
     import os
     import subprocess
     import sys
 
     script = os.path.abspath(__file__)
+    last_err = None
     for attempt in range(attempts):
         budget = min(timeout_s, _remaining_s() - 60.0)
-        if budget < 300.0:
+        if budget < min_budget:
             print(
                 f"bench: case {case} skipped "
                 f"({_remaining_s():.0f}s of global budget left)",
                 file=sys.stderr, flush=True,
             )
+            last_err = last_err or "skipped: global bench budget exhausted"
             break
         try:
             proc = subprocess.run(
@@ -257,127 +307,32 @@ def _try_case_subprocess(case, ess_key, rhat_key, attempts=2,
                 cwd=os.path.dirname(script),
             )
         except subprocess.TimeoutExpired:
-            print(f"bench: case {case} attempt {attempt + 1} timed out",
+            print(f"bench: case {case} attempt {attempt + 1} timed out "
+                  f"after {budget:.0f}s",
                   file=sys.stderr, flush=True)
+            last_err = f"timeout after {budget:.0f}s"
             continue
         if proc.returncode != 0:
             tail = (proc.stderr or "").strip().splitlines()[-3:]
-            print(
-                f"bench: case {case} attempt {attempt + 1} failed "
-                f"(rc={proc.returncode}): " + " | ".join(tail),
-                file=sys.stderr, flush=True,
-            )
+            msg = f"rc={proc.returncode}: " + " | ".join(tail)
+            print(f"bench: case {case} attempt {attempt + 1} failed ({msg})",
+                  file=sys.stderr, flush=True)
+            last_err = msg[:300]
             continue
         for line in reversed(proc.stdout.strip().splitlines()):
             try:
                 out = json.loads(line)
             except json.JSONDecodeError:
                 continue
-            if ess_key in out and out.get(rhat_key, np.inf) < 1.05:
+            if validate is None or validate(out):
                 return out
+            last_err = f"validation failed: {json.dumps(out)[:200]}"
             break
+        else:
+            last_err = "no JSON line in subprocess output"
+    if error_key is not None and last_err is not None:
+        return {error_key: last_err}
     return None
-
-
-def _try_8192_subprocess():
-    return _try_case_subprocess("8192", "ess_per_sec", "rhat_max")
-
-
-def bench_sampling():
-    # headline: full-phase unimodal dataset, gated on convergence.
-    # 3000 draws amortize the 700-step warmup; ESS/draw stays ~0.7 so
-    # the rank-normalized ESS is ~8.8M+ real effective samples per run.
-    # The reliable 4096 configuration runs FIRST so the headline is
-    # guaranteed; the caller then attempts the 8192 upgrade.
-    return _headline_case(4096)
-
-
-def bench_partial_arc_pt():
-    """Secondary fields: partial-arc ridge via variational PT, bounded
-    by per-stage alarms so a backend stall can never eat the headline
-    result (already printed by the time this runs). The model is built
-    and initialized ONCE (its own alarm); a 1-round warmup then fills
-    the compile cache (the sweep program is shape-identical across
-    rounds), so the timed stages start compile-warm. Stage 1 runs the
-    9-round 4096-walker configuration (measured rhat ~1.037 in ~374 s)
-    with a round
-    checkpoint — a stage-1 timeout resumes from that checkpoint instead
-    of losing the run. If the 9-round rhat still misses the 1.05 gate,
-    stage 2 resumes the shadow-adapted ".final.npz" continuation for a
-    10th, twice-as-long round."""
-    import os
-    import tempfile
-
-    cp = os.path.join(tempfile.gettempdir(), "bench_pa_checkpoint.npz")
-    cp_final = cp + ".final.npz"
-    for p in (cp, cp_final):  # stale files from a previous bench run
-        if os.path.exists(p):
-            os.remove(p)
-
-    box = {}
-
-    def _prep():
-        box["model"] = _build_partial_arc_model()
-        return {}
-
-    out = _alarm_bounded(_prep, 600, "partial_arc_pt_init_error")
-    if "model" not in box:
-        return out
-
-    def _warmup():
-        from octofitter_tpu.samplers.tempering import octofit_pigeons
-
-        octofit_pigeons(
-            box["model"], n_rounds=1, key=jax.random.PRNGKey(1),
-            **_PA_KWARGS,
-        )
-        return {}
-
-    _alarm_bounded(_warmup, 600, "partial_arc_pt_warmup_error")
-
-    t_start = time.perf_counter()
-
-    def _stage1(resume=None):
-        ess_pa, rhat_pa, _ = _run_partial_arc_pt(
-            box["model"], cp, n_rounds=9, resume=resume
-        )
-        return {
-            "partial_arc_pt_ess_per_sec": ess_pa / (time.perf_counter() - t_start),
-            "partial_arc_pt_rhat_max": rhat_pa,
-            "partial_arc_pt_rounds": 9,
-        }
-
-    out = _alarm_bounded(_stage1, 680, "partial_arc_pt_error")
-    if "partial_arc_pt_rhat_max" not in out and os.path.exists(cp):
-        # stage 1 timed out mid-run: finish the remaining rounds from
-        # the last round-boundary checkpoint rather than reporting
-        # nothing (bit-identical to the uninterrupted run)
-        out.update(
-            _alarm_bounded(
-                lambda: _stage1(resume=cp), 500, "partial_arc_pt_resume_error"
-            )
-        )
-        if "partial_arc_pt_rhat_max" in out:
-            out.pop("partial_arc_pt_error", None)
-            out.pop("partial_arc_pt_resume_error", None)
-    rhat1 = out.get("partial_arc_pt_rhat_max", np.inf)
-    if np.isfinite(rhat1) and rhat1 >= 1.05 and os.path.exists(cp_final):
-
-        def _stage2():
-            ess2, rhat2, _ = _run_partial_arc_pt(
-                box["model"], cp, n_rounds=10, resume=cp_final
-            )
-            total = time.perf_counter() - t_start
-            return {
-                "partial_arc_pt_ess_per_sec": ess2 / total,
-                "partial_arc_pt_rhat_max": rhat2,
-                "partial_arc_pt_rounds": 10,
-            }
-
-        out2 = _alarm_bounded(_stage2, 560, "partial_arc_pt_stage2_error")
-        if "partial_arc_pt_rhat_max" in out2:
-            out.update(out2)
-    return out
 
 
 def _build_joint_model():
@@ -407,39 +362,6 @@ def bench_joint(n_chains=4096):
         "joint_astrom_pma_rv_rhat_max": rhat,
         "joint_astrom_pma_rv_n_chains": n_chains,
     }
-
-
-def _try_joint_8192_subprocess():
-    return _try_case_subprocess(
-        "joint8192",
-        "joint_astrom_pma_rv_ess_per_sec",
-        "joint_astrom_pma_rv_rhat_max",
-    )
-
-
-def _alarm_bounded(fn, seconds, error_key):
-    """Run fn() under a SIGALRM budget; on any failure return the error
-    string under error_key instead of raising. The per-stage budget is
-    additionally clamped to the remaining global bench budget so the
-    sum of stages can never exceed the driver's timeout."""
-    import signal
-
-    seconds = int(min(seconds, max(_remaining_s() - 30.0, 0.0)))
-    if seconds <= 0:
-        return {error_key: "skipped: global bench budget exhausted"}
-
-    def _timeout(signum, frame):
-        raise TimeoutError(f"{error_key} budget exceeded")
-
-    old = signal.signal(signal.SIGALRM, _timeout)
-    signal.alarm(seconds)
-    try:
-        return fn()
-    except Exception as e:
-        return {error_key: repr(e)[:200]}
-    finally:
-        signal.alarm(0)
-        signal.signal(signal.SIGALRM, old)
 
 
 def bench_kepler():
@@ -482,103 +404,170 @@ def bench_kepler():
     return n_orbits * n_epochs / dt
 
 
+def _run_subprocess_case(case):
+    """One bench phase in this (child) process; prints ONE JSON line."""
+    if case == "kepler":
+        solves = bench_kepler()
+        out = {
+            "metric": "kepler_orbit_solves_per_sec_per_chip",
+            "value": solves,
+            "unit": "solves/s",
+            "vs_baseline": solves / BASELINE_SOLVES_PER_SEC,
+        }
+    elif case == "joint8192":
+        out = bench_joint(n_chains=8192)
+        if out["joint_astrom_pma_rv_rhat_max"] > 1.05:
+            raise RuntimeError(
+                "joint 8192 did not converge "
+                f"(rhat={out['joint_astrom_pma_rv_rhat_max']})"
+            )
+    elif case == "joint":
+        out = bench_joint()
+    elif case == "pa":
+        out = bench_partial_arc()
+    elif case == "pa_stage2":
+        out = bench_partial_arc(stage2=True)
+    elif case == "pa8192":
+        out = bench_partial_arc(n_walkers=8192)
+    else:
+        # headline-case grammar: "N[xK][dS]" — N chains, optional
+        # xK = leapfrog body split into K sequential sub-batches
+        # (axon fault workaround), optional dS = S posterior draws
+        # (amortizes the 700-step warmup; 3000 default)
+        n_samples = 3000
+        if "d" in case:
+            case, s = case.split("d")
+            n_samples = int(s)
+        n_chunks = 1
+        if "x" in case:
+            case, k = case.split("x")
+            n_chunks = int(k)
+        out = _headline_case(int(case), n_chunks=n_chunks,
+                             n_samples=n_samples)
+    print(json.dumps(out), flush=True)
+
+
+def _orchestrate():
+    """Parent-process driver: every phase is a hard-timeout subprocess
+    (_run_phase); the cumulative JSON record is re-printed after each
+    phase so the last complete line is always the best available
+    snapshot, and the process always exits 0 within the global budget.
+
+    Phase order is gated-first / upside-last: the reliable 4096-chain
+    headline, the joint north-star, the partial-arc PT secondary, then
+    the pure-upside upgrades (8192 chains / 8192-walker PT) that may
+    kernel-fault or time out without costing any printed metric."""
+    import glob
+    import os
+    import sys
+    import tempfile
+
+    # stale partial-arc checkpoints from a previous bench run would be
+    # silently resumed; clear them before the first attempt
+    for p in glob.glob(os.path.join(tempfile.gettempdir(), "bench_pa_cp_*")):
+        os.remove(p)
+
+    payload = {}
+
+    def _emit():
+        print(json.dumps(payload), flush=True)
+
+    # --- phase 1: gated headline (4096 chains) ---------------------
+    res = _run_phase(
+        "4096", timeout_s=1500, attempts=2, min_budget=240.0,
+        validate=lambda o: o.get("rhat_max", np.inf) < 1.05,
+    )
+    if res is not None:
+        payload.update(
+            metric="ess_per_sec_per_chip_astrometry_fit",
+            value=res["ess_per_sec"], unit="ESS/s",
+            vs_baseline=res["ess_per_sec"] / BASELINE_ESS_PER_SEC,
+            rhat_max=res["rhat_max"], n_chains=res["n_chains"],
+        )
+    else:
+        # sampling path unavailable: Kepler orbit-solve throughput
+        # fallback so the artifact still carries a real measurement
+        kep = _run_phase("kepler", timeout_s=600, attempts=2,
+                         min_budget=120.0)
+        payload.update(kep or {
+            "metric": "ess_per_sec_per_chip_astrometry_fit",
+            "value": 0.0, "unit": "ESS/s",
+            "error": "headline and kepler fallback both failed",
+        })
+    _emit()
+
+    # --- phase 2: joint astrom+PMA+RV north star -------------------
+    res = _run_phase(
+        "joint", timeout_s=1100, attempts=2, min_budget=300.0,
+        validate=lambda o: "joint_astrom_pma_rv_ess_per_sec" in o,
+        error_key="joint_astrom_pma_rv_error",
+    )
+    if res:
+        payload.update(res)
+        _emit()
+
+    # --- phase 3: partial-arc ridge via variational PT -------------
+    res = _run_phase(
+        "pa", timeout_s=800, attempts=2, min_budget=300.0,
+        validate=lambda o: "partial_arc_pt_rhat_max" in o,
+        error_key="partial_arc_pt_error",
+    )
+    if res:
+        payload.update(res)
+        _emit()
+    if (payload.get("partial_arc_pt_rhat_max", np.inf) >= 1.05
+            and np.isfinite(payload.get("partial_arc_pt_rhat_max", np.inf))):
+        res = _run_phase(
+            "pa_stage2", timeout_s=700, attempts=1, min_budget=300.0,
+            validate=lambda o: "partial_arc_pt_rhat_max" in o,
+        )
+        if res:
+            payload.update(res)
+            payload.pop("partial_arc_pt_error", None)
+            _emit()
+
+    # --- upgrades: pure upside on metrics already printed ----------
+    res = _run_phase(
+        "8192", timeout_s=1200, attempts=2, min_budget=300.0,
+        validate=lambda o: o.get("rhat_max", np.inf) < 1.05,
+    )
+    if res and res["ess_per_sec"] > payload.get("value", 0.0):
+        payload.update(
+            value=res["ess_per_sec"],
+            vs_baseline=res["ess_per_sec"] / BASELINE_ESS_PER_SEC,
+            rhat_max=res["rhat_max"], n_chains=res["n_chains"],
+        )
+        _emit()
+    res = _run_phase(
+        "joint8192", timeout_s=1200, attempts=2, min_budget=300.0,
+        validate=lambda o: o.get("joint_astrom_pma_rv_rhat_max", np.inf) < 1.05,
+    )
+    if res and (res["joint_astrom_pma_rv_ess_per_sec"]
+                > payload.get("joint_astrom_pma_rv_ess_per_sec", 0.0)):
+        payload.update(res)
+        payload.pop("joint_astrom_pma_rv_error", None)
+        _emit()
+    res = _run_phase(
+        "pa8192", timeout_s=900, attempts=1, min_budget=400.0,
+        validate=lambda o: o.get("partial_arc_pt_rhat_max", np.inf) < 1.05,
+    )
+    if res and (res["partial_arc_pt_ess_per_sec"]
+                > payload.get("partial_arc_pt_ess_per_sec", 0.0)):
+        payload.update(res)
+        payload.pop("partial_arc_pt_error", None)
+        _emit()
+
+    _emit()
+    sys.exit(0)
+
+
 def main():
     import sys
 
     if len(sys.argv) >= 3 and sys.argv[1] == "--case":
-        # subprocess mode: one case, one JSON line
-        case = sys.argv[2]
-        if case == "joint8192":
-            out = bench_joint(n_chains=8192)
-            if out["joint_astrom_pma_rv_rhat_max"] > 1.05:
-                raise RuntimeError(
-                    "joint 8192 did not converge "
-                    f"(rhat={out['joint_astrom_pma_rv_rhat_max']})"
-                )
-        elif case == "joint":
-            out = bench_joint()
-        else:
-            # headline-case grammar: "N[xK][dS]" — N chains, optional
-            # xK = leapfrog body split into K sequential sub-batches
-            # (axon fault workaround), optional dS = S posterior draws
-            # (amortizes the 700-step warmup; 3000 default)
-            n_samples = 3000
-            if "d" in case:
-                case, s = case.split("d")
-                n_samples = int(s)
-            n_chunks = 1
-            if "x" in case:
-                case, k = case.split("x")
-                n_chunks = int(k)
-            out = _headline_case(int(case), n_chunks=n_chunks,
-                                 n_samples=n_samples)
-        print(json.dumps(out), flush=True)
+        _run_subprocess_case(sys.argv[2])
         return
-
-    try:
-        res = bench_sampling()
-        ess_per_sec = res["ess_per_sec"]
-        payload = {
-            "metric": "ess_per_sec_per_chip_astrometry_fit",
-            "value": ess_per_sec,
-            "unit": "ESS/s",
-            "vs_baseline": ess_per_sec / BASELINE_ESS_PER_SEC,
-            "rhat_max": res["rhat_max"],
-        }
-        if "n_chains" in res:
-            payload["n_chains"] = res["n_chains"]
-        # print the headline immediately — the phases below are slower,
-        # and this line must survive even if the run is killed; each
-        # subsequent phase re-prints the full record (consumers take
-        # the last complete JSON line)
-        print(json.dumps(payload), flush=True)
-        payload.update(
-            _alarm_bounded(bench_joint, 1200, "joint_astrom_pma_rv_error")
-        )
-        if "joint_astrom_pma_rv_ess_per_sec" not in payload:
-            # On a slow remote-compile day the joint model's programs
-            # can exceed one budget. Every program that finished
-            # compiling persisted to the compilation cache, so a retry
-            # resumes compile progress instead of starting over.
-            payload.update(
-                _alarm_bounded(bench_joint, 1200, "joint_astrom_pma_rv_error")
-            )
-            if "joint_astrom_pma_rv_ess_per_sec" in payload:
-                payload.pop("joint_astrom_pma_rv_error", None)
-        print(json.dumps(payload), flush=True)
-        payload.update(bench_partial_arc_pt())
-        print(json.dumps(payload), flush=True)
-        # LAST: chain-count upgrades. Pure upside on metrics already
-        # printed — a timeout or kernel fault here can no longer cost
-        # any other phase its budget.
-        up = _try_8192_subprocess()
-        if up is not None and up["ess_per_sec"] > ess_per_sec:
-            payload.update(
-                value=up["ess_per_sec"],
-                vs_baseline=up["ess_per_sec"] / BASELINE_ESS_PER_SEC,
-                rhat_max=up["rhat_max"], n_chains=up["n_chains"],
-            )
-            print(json.dumps(payload), flush=True)
-        upj = _try_joint_8192_subprocess()
-        if upj is not None and (
-            upj["joint_astrom_pma_rv_ess_per_sec"]
-            > payload.get("joint_astrom_pma_rv_ess_per_sec", 0.0)
-        ):
-            payload.update(upj)
-            payload.pop("joint_astrom_pma_rv_error", None)
-            print(json.dumps(payload), flush=True)
-    except Exception:
-        solves = bench_kepler()
-        print(
-            json.dumps(
-                {
-                    "metric": "kepler_orbit_solves_per_sec_per_chip",
-                    "value": solves,
-                    "unit": "solves/s",
-                    "vs_baseline": solves / BASELINE_SOLVES_PER_SEC,
-                }
-            )
-        )
+    _orchestrate()
 
 
 if __name__ == "__main__":
