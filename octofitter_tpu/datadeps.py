@@ -166,6 +166,43 @@ def resolve_dataset(name: str, path: str | None = None) -> str:
     )
 
 
+def unpack_archive(path: str, root: str | None = None) -> list[str]:
+    """The DataDeps `post_fetch_method=unpack` step: the reference's
+    archive registrations (Sonora tarballs, Hipparcos IAD tree, RV
+    banks — `/root/reference/src/Octofitter.jl:166-343`) extract the
+    downloaded archive in place and delete it. Handles .tar[.gz/.bz2],
+    .zip and bare .gz; returns the extracted paths. Non-archives are
+    returned as-is (no-op), matching DataDeps' identity post-fetch."""
+    import gzip
+    import shutil
+    import tarfile
+    import zipfile
+
+    root = root or os.path.dirname(os.path.abspath(path))
+    if tarfile.is_tarfile(path):
+        with tarfile.open(path) as tf:
+            members = tf.getmembers()
+            try:
+                tf.extractall(root, filter="data")
+            except TypeError:  # Python < 3.12: no extraction filter
+                tf.extractall(root)
+        os.remove(path)
+        return [os.path.join(root, m.name) for m in members]
+    if zipfile.is_zipfile(path):
+        with zipfile.ZipFile(path) as zf:
+            names = zf.namelist()
+            zf.extractall(root)
+        os.remove(path)
+        return [os.path.join(root, n) for n in names]
+    if path.endswith(".gz"):
+        dest = path[:-3]
+        with gzip.open(path, "rb") as src, open(dest, "wb") as out:
+            shutil.copyfileobj(src, out)
+        os.remove(path)
+        return [dest]
+    return [path]
+
+
 def fetch_dataset(
     name: str,
     *,
@@ -173,6 +210,7 @@ def fetch_dataset(
     filename: str | None = None,
     sha256: str | None = None,
     force: bool = False,
+    unpack: bool = False,
 ) -> str:
     """Download a registered dataset into `data_dir()` and return its
     local path — the DataDeps `download` step
@@ -184,7 +222,9 @@ def fetch_dataset(
     interrupted download can never leave a corrupt cache entry.
     `url` overrides the registered provenance URL (useful for mirrors;
     `file://` URLs work, which is how the offline test suite exercises
-    this path).
+    this path). `unpack=True` runs the DataDeps post-fetch unpack step
+    (`unpack_archive`) and re-resolves the dataset so the returned path
+    is the extracted payload, not the archive.
     """
     import hashlib
     import shutil
@@ -231,6 +271,12 @@ def fetch_dataset(
     finally:
         if os.path.exists(tmp):
             os.remove(tmp)
+    if unpack:
+        extracted = unpack_archive(dest, root)
+        try:
+            return resolve_dataset(name)
+        except FileNotFoundError:
+            return extracted[0] if extracted else dest
     return dest
 
 

@@ -79,6 +79,14 @@ class _FixtureHandler(http.server.BaseHTTPRequestHandler):
                 "<html>GOST</html>", "text/html",
                 headers=[("Set-Cookie", "JSESSIONID=FIXTURESESSION; Path=/")],
             )
+        elif parsed.path.startswith("/files/"):
+            # static archive payloads for the datadeps fetch tests
+            name = parsed.path[len("/files/"):]
+            body = self.server.files.get(name)
+            if body is None:
+                self.send_error(404)
+            else:
+                self._send(body, "application/octet-stream")
         elif parsed.path == "/gost/export.jsp":
             # export requires {session}/{job} and the session cookie
             assert qs["id"] == ["FIXTURESESSION/4242"]
@@ -111,6 +119,7 @@ class _FixtureHandler(http.server.BaseHTTPRequestHandler):
 def fixture_server():
     server = http.server.ThreadingHTTPServer(("127.0.0.1", 0), _FixtureHandler)
     server.calls = []
+    server.files = {}
     thread = threading.Thread(target=server.serve_forever, daemon=True)
     thread.start()
     base = f"http://127.0.0.1:{server.server_address[1]}"
@@ -301,3 +310,69 @@ def test_gost_submission_error_detected(fixture_server, tmp_path):
     finally:
         bad.shutdown()
         th.join(timeout=5)
+
+
+def test_datadeps_fetch_unpack_resolve(fixture_server, tmp_path, monkeypatch):
+    """The archive download path end-to-end over real HTTP: DataDeps
+    registration -> fetch -> sha256 verify -> post-fetch unpack ->
+    resolve, mirroring the reference's Sonora tarball registration
+    (`src/Octofitter.jl:166-343` `post_fetch_method=unpack`)."""
+    import hashlib
+    import io
+    import tarfile
+
+    from octofitter_tpu import datadeps
+
+    base, server = fixture_server
+    monkeypatch.setenv("OCTOFITTER_DATA_DIR", str(tmp_path))
+
+    # a tiny Sonora-shaped tarball: photometry_tables/ directory with a
+    # flux table inside (the registered resolve target)
+    payload = b"Teff  logg  M_J\n500  4.5  12.3\n"
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w:gz") as tf:
+        info = tarfile.TarInfo("photometry_tables/sonora_flux_table.txt")
+        info.size = len(payload)
+        tf.addfile(info, io.BytesIO(payload))
+    archive = buf.getvalue()
+    server.files["sonora_bobcat.tar.gz"] = archive
+    url = base + "/files/sonora_bobcat.tar.gz"
+
+    # wrong checksum must not leave anything staged
+    with pytest.raises(IOError):
+        datadeps.fetch_dataset("Sonora_Bobcat", url=url, sha256="0" * 64)
+    with pytest.raises(FileNotFoundError):
+        datadeps.resolve_dataset("Sonora_Bobcat")
+
+    path = datadeps.fetch_dataset(
+        "Sonora_Bobcat", url=url,
+        sha256=hashlib.sha256(archive).hexdigest(), unpack=True,
+    )
+    # the archive was extracted and deleted; resolution lands on the
+    # photometry_tables payload directory
+    assert os.path.basename(path) == "photometry_tables"
+    assert not (tmp_path / "sonora_bobcat.tar.gz").exists()
+    table = tmp_path / "photometry_tables" / "sonora_flux_table.txt"
+    assert table.read_bytes() == payload
+    assert datadeps.resolve_dataset("Sonora_Bobcat") == str(path)
+
+    # second fetch is a cache hit: no HTTP traffic
+    n_http = len(server.calls)
+    again = datadeps.fetch_dataset(
+        "Sonora_Bobcat", url="http://0.0.0.0:1/dead", unpack=True
+    )
+    assert again == path
+    assert len(server.calls) == n_http
+
+
+def test_datadeps_fetch_plain_file(fixture_server, tmp_path, monkeypatch):
+    """Non-archive registrations (HGCA FITS-style) fetch to the
+    registered filename with no unpack step."""
+    from octofitter_tpu import datadeps
+
+    base, server = fixture_server
+    monkeypatch.setenv("OCTOFITTER_DATA_DIR", str(tmp_path))
+    server.files["hgca.fits"] = b"SIMPLE  =                    T fake"
+    path = datadeps.fetch_dataset("HGCA_eDR3", url=base + "/files/hgca.fits")
+    assert path == str(tmp_path / "HGCA_vEDR3.fits")
+    assert open(path, "rb").read().startswith(b"SIMPLE")
