@@ -153,10 +153,24 @@ def _run_case(model, n_chains=4096, n_warmup=700, n_samples=3000,
 
     # strict accounting: rank-normalized bulk ESS over ALL chains, min
     # across every parameter, with the max rank-normalized split-R-hat
-    # (one vectorized pass over all parameters; exact-match parity with
-    # the scalar loop is tested in tests/test_chains_batch.py)
-    s = np.asarray(samples)
-    ess, rhat = ess_rhat_batch(s)
+    # (exact-match parity with the scalar loop is tested in
+    # tests/test_chains_batch.py). Runs on the accelerator holding the
+    # samples when possible — the host pass costs ~161 s at
+    # 4096x3000x13 on this ~1-core box (~25% of a phase budget), the
+    # fused device program replaces it without transferring the chains.
+    ess = rhat = None
+    if _os.environ.get("OCTOFITTER_DEVICE_ESS", "1") == "1":
+        try:
+            from octofitter_tpu.chains import ess_rhat_batch_device
+
+            ess, rhat = ess_rhat_batch_device(samples)
+        except Exception as e:
+            import sys
+
+            print(f"bench: device diagnostics failed ({e!r}); "
+                  "falling back to host", file=sys.stderr, flush=True)
+    if ess is None:
+        ess, rhat = ess_rhat_batch(np.asarray(samples))
     # degenerate (constant / non-finite) columns are excluded, matching
     # the scalar accounting; all-degenerate -> nan
     ess_min = float(np.nanmin(ess)) if np.isfinite(ess).any() else float("nan")
@@ -168,6 +182,23 @@ def _chain_ess_rhat(chain):
     from octofitter_tpu.chains import ess_rhat_batch
 
     x = np.stack([np.asarray(chain[name]) for name in chain.names], axis=-1)
+    if _os.environ.get("OCTOFITTER_DEVICE_ESS", "1") == "1":
+        try:
+            from octofitter_tpu.chains import ess_rhat_batch_device
+
+            ess, rhat = ess_rhat_batch_device(x)
+            ess_min = (
+                float(np.nanmin(ess)) if np.isfinite(ess).any() else float("nan")
+            )
+            rhat_max = (
+                float(np.nanmax(rhat)) if np.isfinite(rhat).any() else float("nan")
+            )
+            return ess_min, rhat_max
+        except Exception as e:
+            import sys
+
+            print(f"bench: device diagnostics failed ({e!r}); "
+                  "falling back to host", file=sys.stderr, flush=True)
     ess, rhat = ess_rhat_batch(x)
     ess_min = float(np.nanmin(ess)) if np.isfinite(ess).any() else float("nan")
     rhat_max = float(np.nanmax(rhat)) if np.isfinite(rhat).any() else float("nan")

@@ -116,6 +116,21 @@ def _make_annealed_vg(model):
     return jax.value_and_grad(annealed, has_aux=True)
 
 
+def _host(x):
+    """Device→host transfer that also works when the ladder mesh spans
+    OS processes (`jax.distributed`): a non-fully-addressable array is
+    all-gathered first so every process materializes the identical
+    global value — the replacement for the reference's MPI-rank-local
+    Pigeons state (`OctofitterPigeonsExt.jl:88-96`), where no process
+    ever holds the full ladder. Single-process arrays take the plain
+    `np.asarray` path unchanged."""
+    if isinstance(x, jax.Array) and not x.is_fully_addressable:
+        from jax.experimental import multihost_utils
+
+        return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+    return np.asarray(x)
+
+
 def _rung_coeffs(betas_fix, betas_var, q_active: bool):
     """(N_tot, 3) density coefficients over (ln_prior, ll, log q)."""
     bf = np.asarray(betas_fix)
@@ -139,24 +154,24 @@ def _pt_save_checkpoint(path, state: dict):
     bit-identical to an uninterrupted one."""
     da = state["da"]  # DualAveragingState with stacked (NT,) leaves
     da_arr = np.stack(
-        [np.asarray(leaf, float) for leaf in
+        [_host(leaf).astype(float) for leaf in
          (da.log_eps, da.log_eps_avg, da.h_avg, da.mu, da.count)],
         axis=1,
     )
     adam = state["adam"]  # AdamState with stacked (NT,) leaves
     adam_arr = np.stack(
-        [np.asarray(leaf, float) for leaf in (adam.m, adam.v, adam.t)],
+        [_host(leaf).astype(float) for leaf in (adam.m, adam.v, adam.t)],
         axis=1,
     )
     np.savez(
         path,
-        theta=np.asarray(state["theta"]),
+        theta=_host(state["theta"]),
         betas=np.asarray(state["betas"]),
         betas_var=np.asarray(state["betas_var"]),
         eps=np.asarray(state["eps"]),
         sigma_diag=np.asarray(state["sigma_diag"]),
-        labels=state["labels"],
-        direction=state["direction"],
+        labels=_host(state["labels"]),
+        direction=_host(state["direction"]),
         n_round_trips=state["n_round_trips"],
         sweep_counter=state["sweep_counter"],
         next_round=state["next_round"],
@@ -166,7 +181,7 @@ def _pt_save_checkpoint(path, state: dict):
         q_mean=np.asarray(state["q_mean"]),
         q_log_std=np.asarray(state["q_log_std"]),
         q_active=bool(state["q_active"]),
-        key_data=np.asarray(jax.random.key_data(state["key"])),
+        key_data=_host(jax.random.key_data(state["key"])),
     )
 
 
@@ -681,20 +696,20 @@ def octofit_pigeons(
                 if Nv:
                     samples_final.append(
                         np.concatenate(
-                            [np.asarray(th[:, N - 1, :]),
-                             np.asarray(th[:, N, :])], axis=0
+                            [_host(th[:, N - 1, :]),
+                             _host(th[:, N, :])], axis=0
                         )
                     )
                 else:
-                    samples_final.append(np.asarray(th[:, N - 1, :]))
-                ll_by_temp_final.append(np.asarray(ll))
+                    samples_final.append(_host(th[:, N - 1, :]))
+                ll_by_temp_final.append(_host(ll))
 
         # ---- between rounds: pull the round's accumulators once, then
         # adapt schedule + explorer metric on host ---------------------
-        s1 = np.asarray(carry["s1"])
-        s2 = np.asarray(carry["s2"])
-        att_round = np.asarray(carry["att"])
-        rej_round = np.asarray(carry["rej"])
+        s1 = _host(carry["s1"])
+        s2 = _host(carry["s2"])
+        att_round = _host(carry["att"])
+        rej_round = _host(carry["rej"])
         s_count = n_sweeps * W
         with np.errstate(invalid="ignore"):
             r = np.where(att_round > 0, rej_round / np.maximum(att_round, 1), 0.0)
@@ -759,7 +774,7 @@ def octofit_pigeons(
             print(
                 f"PT round {rnd + 1}/{n_rounds}: {n_sweeps} sweeps, "
                 f"barrier {barrier:.2f}{extra}, "
-                f"round trips {int(np.asarray(carry['trips']))}"
+                f"round trips {int(_host(carry['trips']))}"
             )
 
         # Interruption checkpoints are saved after every ADAPTING round:
@@ -776,13 +791,13 @@ def octofit_pigeons(
                 dict(
                     theta=carry["theta"], betas=betas_fix,
                     betas_var=betas_var,
-                    eps=np.exp(np.asarray(carry["da"].log_eps)),
+                    eps=np.exp(_host(carry["da"].log_eps)),
                     sigma_diag=sigma_diag,
-                    labels=np.asarray(carry["labels"]),
-                    direction=np.asarray(carry["direction"]),
-                    n_round_trips=int(np.asarray(carry["trips"])),
+                    labels=carry["labels"],
+                    direction=carry["direction"],
+                    n_round_trips=int(_host(carry["trips"])),
                     sweep_counter=sweep_counter, next_round=rnd + 1,
-                    da=carry["da"], log_T=np.asarray(carry["log_T"]),
+                    da=carry["da"], log_T=_host(carry["log_T"]),
                     adam=carry["adam"], q_mean=q_mean,
                     q_log_std=q_log_std, q_active=q_active,
                     key=carry["key"],
@@ -833,11 +848,11 @@ def octofit_pigeons(
         "loglike": np.asarray(ll).reshape(Wn, S),
         "logpost": np.asarray(lp + ll).reshape(Wn, S),
     }
-    n_round_trips = int(np.asarray(carry["trips"]))
+    n_round_trips = int(_host(carry["trips"]))
     info = {
         "sampler": "pt_deo",
         "explorer": explorer,
-        "trajectory_length": np.exp(np.asarray(log_T_record)),
+        "trajectory_length": np.exp(_host(log_T_record)),
         "model_name": model.system.name,
         "logevidence": float(log_z),
         "global_barrier": float(barrier),

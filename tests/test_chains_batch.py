@@ -112,3 +112,37 @@ def test_summary_uses_batch_consistently():
         assert s[f"p{j}"]["ess_tail"] == pytest.approx(
             ess_tail(x[:, :, j]), rel=1e-10
         )
+
+
+def test_device_matches_numpy_batch():
+    """The fused on-device diagnostics (`ess_rhat_batch_device`) match
+    the numpy oracle to <1e-12 in f64, including MH-duplicate and
+    multi-way ties and degenerate columns (VERDICT r4 item 5)."""
+    from octofitter_tpu.chains import ess_rhat_batch_device
+
+    rng = np.random.default_rng(11)
+    x = _make_chains(seed=6, p=5)
+    rej = rng.random(x.shape) < 0.3
+    for t in range(1, x.shape[1]):
+        x[:, t] = np.where(rej[:, t], x[:, t - 1], x[:, t])
+    x[:, :, 2] = np.round(x[:, :, 2] * 2.0) / 2.0   # multi-way ties
+    x[:, :, 3] = 7.0                                 # constant -> nan
+    x[0, 5, 4] = np.nan                              # non-finite -> nan
+    ess_d, rhat_d = ess_rhat_batch_device(x)
+    ess_b, rhat_b = ess_rhat_batch(x)
+    np.testing.assert_allclose(ess_d, ess_b, rtol=0, atol=1e-12 * 8 * 512)
+    np.testing.assert_allclose(rhat_d, rhat_b, rtol=0, atol=1e-12)
+    assert np.isnan(ess_d[3]) and np.isnan(rhat_d[3])
+    assert np.isnan(ess_d[4]) and np.isnan(rhat_d[4])
+
+
+def test_device_accepts_2d_and_short():
+    from octofitter_tpu.chains import ess_rhat_batch_device
+
+    x = _make_chains(seed=2, p=1)[:, :, 0]
+    ess_d, rhat_d = ess_rhat_batch_device(x)
+    ess_b, rhat_b = ess_rhat_batch(x)
+    np.testing.assert_allclose(ess_d, ess_b, rtol=1e-12)
+    np.testing.assert_allclose(rhat_d, rhat_b, rtol=1e-12)
+    e, r = ess_rhat_batch_device(np.zeros((4, 3, 2)))   # n < 4
+    assert np.isnan(e).all() and np.isnan(r).all()

