@@ -48,6 +48,11 @@ PAGES = [
     "g23h.md",
     "rv-gp.md",
     "astrom-pma-rv.md",
+    "orbits.md",
+    "absolute-astrometry.md",
+    "samplers.md",
+    "plotting.md",
+    "parallel-sampling.md",
 ]
 
 _BLOCK_RE = re.compile(r"```python\n(.*?)```", re.DOTALL)
