@@ -29,7 +29,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def measure(name, model, n_chains, key, trace_dir=None):
+def measure(name, model, n_chains, key, trace_dir=None, n_samples=200):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -65,12 +65,15 @@ def measure(name, model, n_chains, key, trace_dir=None):
                 out = bvg(theta0)
             jax.block_until_ready(out)
 
-    # short run for adapted trajectory statistics
+    # run for adapted trajectory statistics; n_samples=3000 reuses the
+    # bench-shaped program from the persistent compile cache
+    t0 = time.perf_counter()
     samples, lls, stats, info = run_chees(
-        vg, theta0, key, n_warmup=700, n_samples=200,
+        vg, theta0, key, n_warmup=700, n_samples=n_samples,
         metric="dense", initial_sigma=sigma0,
     )
     jax.block_until_ready(samples)
+    sample_s = time.perf_counter() - t0
     steps_per_draw = float(np.mean(np.asarray(stats.n_steps)))
     accept = float(np.mean(np.asarray(stats.acceptance_rate)))
     rec = dict(
@@ -78,7 +81,22 @@ def measure(name, model, n_chains, key, trace_dir=None):
         grad_ms=grad_s * 1e3, grad_compile_s=compile_s,
         grads_per_sec=n_chains / grad_s,
         steps_per_draw=steps_per_draw, accept=accept,
+        sample_s=sample_s,
     )
+    if n_samples >= 1000:
+        from octofitter_tpu.chains import ess_rhat_batch_device
+
+        ess, rhat = ess_rhat_batch_device(samples)
+        ess = np.asarray(ess)
+        ess_min = float(np.nanmin(ess)) if np.isfinite(ess).any() else float("nan")
+        rec.update(
+            ess_min=ess_min,
+            ess_min_per_draw=ess_min / (n_chains * n_samples),
+            ess_per_sec=ess_min / sample_s,
+            rhat_max=float(np.nanmax(np.asarray(rhat))),
+            ess_argmin=int(np.nanargmin(ess)),
+            ess_by_param=[round(float(v)) for v in ess],
+        )
     print(rec, flush=True)
     return rec
 
@@ -86,6 +104,7 @@ def measure(name, model, n_chains, key, trace_dir=None):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--chains", type=int, default=8192)
+    ap.add_argument("--samples", type=int, default=200)
     ap.add_argument("--trace", default=None)
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
@@ -107,9 +126,9 @@ def main():
     headline = bench.build_model()
     joint = bench._build_joint_model()
     r_h = measure("headline", headline, args.chains,
-                  jax.random.PRNGKey(2), args.trace)
+                  jax.random.PRNGKey(2), args.trace, args.samples)
     r_j = measure("joint", joint, args.chains,
-                  jax.random.PRNGKey(3), args.trace)
+                  jax.random.PRNGKey(3), args.trace, args.samples)
     ratio = r_j["grad_ms"] / r_h["grad_ms"]
     print(f"\njoint/headline per-gradient cost ratio: {ratio:.2f}x "
           f"({r_j['grad_ms']:.3f} vs {r_h['grad_ms']:.3f} ms/batch at "
@@ -120,6 +139,15 @@ def main():
         print(f"trajectory-length ratio: {sratio:.2f}x "
               f"({r_j['steps_per_draw']:.1f} vs "
               f"{r_h['steps_per_draw']:.1f} leapfrog steps/draw)",
+              flush=True)
+    if "ess_min_per_draw" in r_h and "ess_min_per_draw" in r_j:
+        eratio = r_h["ess_min_per_draw"] / r_j["ess_min_per_draw"]
+        print(f"mixing (min-ESS/draw) ratio: {eratio:.2f}x "
+              f"({r_h['ess_min_per_draw']:.4f} vs {r_j['ess_min_per_draw']:.4f})",
+              flush=True)
+        tratio = r_h["ess_per_sec"] / r_j["ess_per_sec"]
+        print(f"total ESS/s ratio: {tratio:.2f}x "
+              f"({r_h['ess_per_sec']:.0f} vs {r_j['ess_per_sec']:.0f})",
               flush=True)
 
 
