@@ -255,8 +255,14 @@ def _ess_rhat_batch_jax_impl(x, nfft):
     host where a precomputed table is needed). Degenerate rows
     (non-finite / constant, same test as `_constant_rows`) are
     replaced by arange so the program stays finite, and their outputs
-    are restored to NaN at the end. x: (m, n, P); returns
-    (ess (P,), rhat (P,))."""
+    are restored to NaN at the end.
+
+    Parameters are processed SEQUENTIALLY (`lax.map` over the row
+    axis): batching the rank pass across all P rows materializes
+    (P, m·n) temporaries that tile-pad up to 11.6× on TPU — measured
+    17.1 GB of HBM (OOM on a 16 GB chip) at 8192 chains × 3000 draws
+    × 11 params — while one row's temporaries stay ~100-200 MB at any
+    chain count. x: (m, n, P); returns (ess (P,), rhat (P,))."""
     import jax
     import jax.numpy as jnp
     from jax.scipy.special import ndtri as jndtri
@@ -266,92 +272,76 @@ def _ess_rhat_batch_jax_impl(x, nfft):
     flat = jnp.moveaxis(x, 2, 0).reshape(P, -1)
     S = flat.shape[1]
 
-    row0 = flat[:, 0]
-    tol = 1e-08 + 1e-05 * jnp.abs(row0)
-    constant = ((flat.max(axis=1) - row0) <= tol) & (
-        (row0 - flat.min(axis=1)) <= tol
-    )
-    ok = jnp.isfinite(flat).all(axis=1) & ~constant
-    safe = jnp.where(
-        ok[:, None], flat, jnp.arange(S, dtype=dtype)[None, :]
-    )
-
     idx = jnp.arange(S, dtype=jnp.int32)
 
-    def rank_normalize(rows, sorted_rows=None, order=None):
-        if order is None:
-            order = jnp.argsort(rows, axis=1)
-            sorted_rows = jnp.take_along_axis(rows, order, axis=1)
-        s = sorted_rows
+    def rank_normalize(row):
+        order = jnp.argsort(row)
+        s = row[order]
         boundary = jnp.concatenate(
-            [jnp.ones((P, 1), bool), s[:, 1:] != s[:, :-1]], axis=1
+            [jnp.ones((1,), bool), s[1:] != s[:-1]]
         )
-        starts = jax.lax.cummax(
-            jnp.where(boundary, idx[None, :], 0), axis=1
-        )
-        nxt = jnp.where(boundary, idx[None, :], S)
-        rev_min = jnp.flip(
-            jax.lax.cummin(jnp.flip(nxt, axis=1), axis=1), axis=1
-        )
-        ends = jnp.concatenate(
-            [rev_min[:, 1:], jnp.full((P, 1), S, jnp.int32)], axis=1
-        )
+        starts = jax.lax.cummax(jnp.where(boundary, idx, 0), axis=0)
+        nxt = jnp.where(boundary, idx, S)
+        rev_min = jnp.flip(jax.lax.cummin(jnp.flip(nxt), axis=0))
+        ends = jnp.concatenate([rev_min[1:], jnp.full((1,), S, jnp.int32)])
         r = (starts + ends + 1).astype(dtype) * jnp.asarray(0.5, dtype)
         z_sorted = jndtri((r - 0.375) / (S + 0.25))
-        scatter = jax.vmap(
-            lambda o, zs: jnp.zeros(S, dtype).at[o].set(zs)
-        )
-        return scatter(order, z_sorted), s
+        return jnp.zeros(S, dtype).at[order].set(z_sorted), s
 
     def split_raw(z, compute_ess):
-        zc = z.reshape(P, m, n)
+        zc = z.reshape(m, n)
         half = n // 2
-        xs = jnp.concatenate(
-            [zc[:, :, :half], zc[:, :, half : 2 * half]], axis=1
-        )
+        xs = jnp.concatenate([zc[:, :half], zc[:, half : 2 * half]], axis=0)
         mm, nn = 2 * m, half
-        chain_means = xs.mean(axis=2)
-        chain_vars = xs.var(axis=2, ddof=1)
-        W = chain_vars.mean(axis=1)
-        B = nn * chain_means.var(axis=1, ddof=1)
+        chain_means = xs.mean(axis=1)
+        chain_vars = xs.var(axis=1, ddof=1)
+        W = chain_vars.mean()
+        B = nn * chain_means.var(ddof=1)
         var_plus = (nn - 1) / nn * W + B / nn
         rhat = jnp.where(W > 0, jnp.sqrt(var_plus / W), jnp.nan)
         if not compute_ess:
             return None, rhat
-        xc = xs - xs.mean(axis=2, keepdims=True)
-        f = jnp.fft.rfft(xc, nfft, axis=2)
-        power = (f.real * f.real + f.imag * f.imag).sum(axis=1) / mm
-        mean_acov = jnp.fft.irfft(power, nfft, axis=1)[:, :nn] / nn
+        xc = xs - xs.mean(axis=1, keepdims=True)
+        f = jnp.fft.rfft(xc, nfft, axis=1)
+        power = (f.real * f.real + f.imag * f.imag).sum(axis=0) / mm
+        mean_acov = jnp.fft.irfft(power, nfft)[:nn] / nn
         mean_acov = mean_acov.astype(dtype)
-        rho = 1 - (W[:, None] - mean_acov) / var_plus[:, None]
+        rho = 1 - (W - mean_acov) / var_plus
         t_max = (nn // 2) * 2
-        pair = rho[:, :t_max].reshape(P, -1, 2).sum(axis=2)
-        T = pair.shape[1]
+        pair = rho[:t_max].reshape(-1, 2).sum(axis=1)
+        T = pair.shape[0]
         pos = pair > 0
-        any_neg = ~pos.all(axis=1)
-        first_neg = jnp.where(any_neg, jnp.argmax(~pos, axis=1), T)
-        mask = jnp.arange(T)[None, :] < first_neg[:, None]
-        cummin = jax.lax.cummin(
-            jnp.where(mask, pair, jnp.inf), axis=1
-        )
-        tau = -1.0 + 2.0 * jnp.where(mask, cummin, 0.0).sum(axis=1)
+        any_neg = ~pos.all()
+        first_neg = jnp.where(any_neg, jnp.argmax(~pos), T)
+        mask = jnp.arange(T) < first_neg
+        cummin = jax.lax.cummin(jnp.where(mask, pair, jnp.inf), axis=0)
+        tau = -1.0 + 2.0 * jnp.where(mask, cummin, 0.0).sum()
         tau = jnp.where(first_neg == 0, 1.0, tau)
         tau = jnp.maximum(tau, 1.0 / jnp.log10(nn + 10.0))
         ess = mm * nn / tau
         return ess, rhat
 
-    z, s_sorted = rank_normalize(safe)
-    ess_b, rhat_b = split_raw(z, True)
-    # median from the already-sorted values (matches np.median)
-    med = (
-        s_sorted[:, (S - 1) // 2] + s_sorted[:, S // 2]
-    ) * jnp.asarray(0.5, dtype)
-    folded = jnp.abs(safe - med[:, None])
-    zf, _ = rank_normalize(folded)
-    _, rhat_f = split_raw(zf, False)
-    rhat = jnp.fmax(rhat_b, rhat_f)
-    nan = jnp.asarray(jnp.nan, dtype)
-    return jnp.where(ok, ess_b, nan), jnp.where(ok, rhat, nan)
+    def one_row(row):
+        row0 = row[0]
+        tol = 1e-08 + 1e-05 * jnp.abs(row0)
+        constant = ((row.max() - row0) <= tol) & ((row0 - row.min()) <= tol)
+        okr = jnp.isfinite(row).all() & ~constant
+        safe = jnp.where(okr, row, idx.astype(dtype))
+
+        z, s_sorted = rank_normalize(safe)
+        ess_b, rhat_b = split_raw(z, True)
+        # median from the already-sorted values (matches np.median)
+        med = (
+            s_sorted[(S - 1) // 2] + s_sorted[S // 2]
+        ) * jnp.asarray(0.5, dtype)
+        folded = jnp.abs(safe - med)
+        zf, _ = rank_normalize(folded)
+        _, rhat_f = split_raw(zf, False)
+        rhat = jnp.fmax(rhat_b, rhat_f)
+        nan = jnp.asarray(jnp.nan, dtype)
+        return jnp.where(okr, ess_b, nan), jnp.where(okr, rhat, nan)
+
+    return jax.lax.map(one_row, flat)
 
 
 def ess_rhat_batch_device(x):
