@@ -284,8 +284,22 @@ def _ess_rhat_batch_jax_impl(x, nfft):
         nxt = jnp.where(boundary, idx, S)
         rev_min = jnp.flip(jax.lax.cummin(jnp.flip(nxt), axis=0))
         ends = jnp.concatenate([rev_min[1:], jnp.full((1,), S, jnp.int32)])
-        r = (starts + ends + 1).astype(dtype) * jnp.asarray(0.5, dtype)
-        z_sorted = jndtri((r - 0.375) / (S + 0.25))
+        # Blom score for the average 1-based rank r = k/2, k = starts+
+        # ends+1: p = (r - 3/8)/(S + 1/4) = (k - 3/4)/(2S + 1/2). In the
+        # sampler's f32 this saturates for near-max ranks once S ≥ 2^23
+        # (the bench is 1.2-2.5e7 flat draws): float32(r - 0.375) == r
+        # and p rounds to exactly 1.0, so ndtri returns +inf and poisons
+        # W/R-hat (measured: every untied parameter NaN at 8192×3000).
+        # Evaluate the upper tail symmetrically instead — z = -ndtri(1-p)
+        # with 1-p's numerator 2S - k formed in exact int32 arithmetic,
+        # so the small complementary probability never cancels.
+        k = starts + ends + 1
+        upper = k > S
+        num = jnp.where(upper, 2 * S - k, k).astype(dtype)
+        off = jnp.where(upper, jnp.asarray(1.25, dtype), jnp.asarray(-0.75, dtype))
+        p = (num + off) / jnp.asarray(2.0 * S + 0.5, dtype)
+        z0 = jndtri(p)
+        z_sorted = jnp.where(upper, -z0, z0)
         return jnp.zeros(S, dtype).at[order].set(z_sorted), s
 
     def split_raw(z, compute_ess):

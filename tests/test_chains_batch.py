@@ -146,3 +146,28 @@ def test_device_accepts_2d_and_short():
     np.testing.assert_allclose(rhat_d, rhat_b, rtol=1e-12)
     e, r = ess_rhat_batch_device(np.zeros((4, 3, 2)))   # n < 4
     assert np.isnan(e).all() and np.isnan(r).all()
+
+
+def test_device_f32_large_s_no_ndtri_saturation():
+    """f32 rank-normal scores at bench scale: the naive Blom argument
+    (r - 0.375)/(S + 0.25) rounds to exactly 1.0 for near-max ranks
+    once S >= 2^23 in float32, sending ndtri to +inf and poisoning
+    W -> R-hat = NaN while ESS clamps to exactly m*n (observed on-chip
+    at 8192x3000: every untied parameter NaN). The device path must
+    evaluate the upper tail as -ndtri(1 - p) with the complementary
+    numerator 2S - k formed in exact int32 arithmetic. S here is the
+    minimal saturating size (1024 chains x 8192 draws = 2^23)."""
+    import jax.numpy as jnp
+
+    from octofitter_tpu.chains import ess_rhat_batch, ess_rhat_batch_device
+
+    rng = np.random.default_rng(3)
+    m, n = 1024, 8192
+    x = (rng.standard_normal((m, n, 1)).cumsum(axis=1) * 0.02
+         + rng.standard_normal((m, 1, 1)))
+    ess_d, rhat_d = ess_rhat_batch_device(jnp.asarray(x, jnp.float32))
+    assert np.isfinite(ess_d).all() and np.isfinite(rhat_d).all()
+    assert not np.allclose(ess_d[0], m * n)   # the saturation signature
+    ess_h, rhat_h = ess_rhat_batch(x)
+    np.testing.assert_allclose(ess_d, ess_h, rtol=2e-3)
+    np.testing.assert_allclose(rhat_d, rhat_h, rtol=1e-4)
