@@ -127,11 +127,16 @@ def _run_case(model, n_chains=4096, n_warmup=700, n_samples=3000,
               n_chunks=1):
     """Fit one dataset with ChEES; return (min rank-normalized ESS
     across every parameter, max rank-normalized split R-hat, seconds)."""
+    import sys
+
     from octofitter_tpu.chains import ess_rhat_batch
     from octofitter_tpu.samplers.chees import run_chees
+    t_start = time.perf_counter()
     # full initialization pipeline (prior search -> multistart Adam ->
     # L-BFGS -> Laplace), the production octofit path
     model.initialize(jax.random.PRNGKey(0), verbosity=0)
+    print(f"bench[case] init pipeline {time.perf_counter() - t_start:.0f}s",
+          file=sys.stderr, flush=True)
     pts = np.asarray(model.starting_points)
     sigma0 = np.asarray(model.laplace_sigma)
     vg = jax.value_and_grad(model._ln_post_py)
@@ -150,6 +155,9 @@ def _run_case(model, n_chains=4096, n_warmup=700, n_samples=3000,
     )
     jax.block_until_ready(samples)
     dt = time.perf_counter() - t0
+    print(f"bench[case] sampling (incl. in-window compile) {dt:.0f}s",
+          file=sys.stderr, flush=True)
+    t_diag = time.perf_counter()
 
     # strict accounting: rank-normalized bulk ESS over ALL chains, min
     # across every parameter, with the max rank-normalized split-R-hat
@@ -175,6 +183,8 @@ def _run_case(model, n_chains=4096, n_warmup=700, n_samples=3000,
     # the scalar accounting; all-degenerate -> nan
     ess_min = float(np.nanmin(ess)) if np.isfinite(ess).any() else float("nan")
     rhat_max = float(np.nanmax(rhat)) if np.isfinite(rhat).any() else float("nan")
+    print(f"bench[case] diagnostics {time.perf_counter() - t_diag:.0f}s",
+          file=sys.stderr, flush=True)
     return ess_min, rhat_max, dt
 
 
@@ -299,6 +309,89 @@ def _headline_case(n_chains, n_chunks=1, n_samples=3000):
     if n_samples != 3000:
         out["n_samples"] = n_samples
     return out
+
+
+def _run_gated_case():
+    """Headline (4096, gated), joint north star, and partial-arc PT in
+    ONE subprocess, printing each metric's JSON line as it completes.
+
+    Rationale (round-5 validation run, 2026-08-21): the per-phase fixed
+    overhead — axon backend init + compile-cache load + model init
+    pipeline — varies from ~4 to ~20 minutes by night, and paying it
+    once per phase made the joint phase blow its 1100 s budget and the
+    partial-arc phase lose its global-budget slot on a slow night even
+    with every sampler program cache-warm. One process pays it once;
+    the orchestrator harvests whatever lines were printed even if this
+    process is timeout-killed mid-way (TimeoutExpired.stdout) and runs
+    individual fallback phases only for the missing metrics."""
+    import sys
+
+    t0 = time.perf_counter()
+
+    def note(msg):
+        print(f"bench[gated] t={time.perf_counter() - t0:.0f}s {msg}",
+              file=sys.stderr, flush=True)
+
+    out = _headline_case(4096)
+    print(json.dumps(out), flush=True)
+    note("headline done")
+    try:
+        out = bench_joint()
+        print(json.dumps(out), flush=True)
+        note("joint done")
+    except Exception as e:
+        print(json.dumps({"joint_astrom_pma_rv_error": repr(e)[:200]}),
+              flush=True)
+        note(f"joint failed: {e!r}")
+    try:
+        out = bench_partial_arc()
+        print(json.dumps(out), flush=True)
+        note("pa done")
+    except Exception as e:
+        print(json.dumps({"partial_arc_pt_error": repr(e)[:200]}),
+              flush=True)
+        note(f"pa failed: {e!r}")
+
+
+def _run_phase_multi(case, timeout_s, min_budget=300.0):
+    """Run one subprocess case and return EVERY JSON line it printed,
+    harvesting partial stdout when the hard timeout kills it."""
+    import os
+    import subprocess
+    import sys
+
+    script = os.path.abspath(__file__)
+    budget = min(timeout_s, _remaining_s() - 60.0)
+    if budget < min_budget:
+        print(f"bench: case {case} skipped "
+              f"({_remaining_s():.0f}s of global budget left)",
+              file=sys.stderr, flush=True)
+        return []
+    stdout = ""
+    try:
+        proc = subprocess.run(
+            [sys.executable, script, "--case", case],
+            capture_output=True, text=True, timeout=budget,
+            cwd=os.path.dirname(script),
+        )
+        stdout = proc.stdout or ""
+        if proc.returncode != 0:
+            tail = (proc.stderr or "").strip().splitlines()[-3:]
+            print(f"bench: case {case} rc={proc.returncode}: "
+                  + " | ".join(tail), file=sys.stderr, flush=True)
+    except subprocess.TimeoutExpired as e:
+        print(f"bench: case {case} timed out after {budget:.0f}s "
+              "(harvesting partial output)", file=sys.stderr, flush=True)
+        stdout = e.stdout or ""
+        if isinstance(stdout, bytes):
+            stdout = stdout.decode("utf-8", "replace")
+    results = []
+    for line in stdout.strip().splitlines():
+        try:
+            results.append(json.loads(line))
+        except json.JSONDecodeError:
+            continue
+    return results
 
 
 def _run_phase(case, timeout_s, attempts=2, min_budget=300.0,
@@ -454,6 +547,9 @@ def _run_subprocess_case(case):
             )
     elif case == "joint":
         out = bench_joint()
+    elif case == "gated":
+        _run_gated_case()
+        return
     elif case == "pa":
         out = bench_partial_arc()
     elif case == "pa_stage2":
@@ -479,15 +575,18 @@ def _run_subprocess_case(case):
 
 
 def _orchestrate():
-    """Parent-process driver: every phase is a hard-timeout subprocess
-    (_run_phase); the cumulative JSON record is re-printed after each
-    phase so the last complete line is always the best available
-    snapshot, and the process always exits 0 within the global budget.
+    """Parent-process driver: phases run as hard-timeout subprocesses;
+    the cumulative JSON record is re-printed after each phase so the
+    last complete line is always the best available snapshot, and the
+    process always exits 0 within the global budget.
 
-    Phase order is gated-first / upside-last: the reliable 4096-chain
-    headline, the joint north-star, the partial-arc PT secondary, then
-    the pure-upside upgrades (8192 chains / 8192-walker PT) that may
-    kernel-fault or time out without costing any printed metric."""
+    Phase order is gated-first / upside-last: the three gated metrics
+    (4096-chain headline, joint north star, partial-arc PT) run in ONE
+    subprocess so the night's backend-init/compile-service overhead is
+    paid once — its stdout is harvested even on a timeout kill — with
+    individual fallback subprocesses only for whatever is missing,
+    then the pure-upside upgrades (8192 chains / 8192-walker PT) that
+    may kernel-fault or time out without costing any printed metric."""
     import glob
     import os
     import sys
@@ -503,49 +602,75 @@ def _orchestrate():
     def _emit():
         print(json.dumps(payload), flush=True)
 
-    # --- phase 1: gated headline (4096 chains) ---------------------
-    res = _run_phase(
-        "4096", timeout_s=1500, attempts=2, min_budget=240.0,
-        validate=lambda o: o.get("rhat_max", np.inf) < 1.05,
-    )
-    if res is not None:
-        payload.update(
-            metric="ess_per_sec_per_chip_astrometry_fit",
-            value=res["ess_per_sec"], unit="ESS/s",
-            vs_baseline=res["ess_per_sec"] / BASELINE_ESS_PER_SEC,
-            rhat_max=res["rhat_max"], n_chains=res["n_chains"],
+    def _ingest_headline(o):
+        if o.get("rhat_max", np.inf) < 1.05:
+            payload.update(
+                metric="ess_per_sec_per_chip_astrometry_fit",
+                value=o["ess_per_sec"], unit="ESS/s",
+                vs_baseline=o["ess_per_sec"] / BASELINE_ESS_PER_SEC,
+                rhat_max=o["rhat_max"], n_chains=o["n_chains"],
+            )
+            return True
+        return False
+
+    # --- gated group: headline + joint + partial-arc, ONE process --
+    # (one backend init / cache load / init pipeline warm-up; a
+    # timeout kill still yields whatever metrics were printed)
+    for o in _run_phase_multi("gated", timeout_s=2400, min_budget=600.0):
+        if "ess_per_sec" in o:
+            _ingest_headline(o)
+        elif ("joint_astrom_pma_rv_ess_per_sec" in o
+              or "partial_arc_pt_rhat_max" in o
+              or "joint_astrom_pma_rv_error" in o
+              or "partial_arc_pt_error" in o):
+            payload.update(o)
+        _emit()
+
+    # --- per-metric fallbacks for whatever the group did not land --
+    if "value" not in payload:
+        res = _run_phase(
+            "4096", timeout_s=1500, attempts=2, min_budget=240.0,
+            validate=lambda o: o.get("rhat_max", np.inf) < 1.05,
         )
-    else:
-        # sampling path unavailable: Kepler orbit-solve throughput
-        # fallback so the artifact still carries a real measurement
-        kep = _run_phase("kepler", timeout_s=600, attempts=2,
-                         min_budget=120.0)
-        payload.update(kep or {
-            "metric": "ess_per_sec_per_chip_astrometry_fit",
-            "value": 0.0, "unit": "ESS/s",
-            "error": "headline and kepler fallback both failed",
-        })
-    _emit()
-
-    # --- phase 2: joint astrom+PMA+RV north star -------------------
-    res = _run_phase(
-        "joint", timeout_s=1100, attempts=2, min_budget=300.0,
-        validate=lambda o: "joint_astrom_pma_rv_ess_per_sec" in o,
-        error_key="joint_astrom_pma_rv_error",
-    )
-    if res:
-        payload.update(res)
+        if res is not None:
+            _ingest_headline(res)
+        else:
+            # sampling path unavailable: Kepler orbit-solve throughput
+            # fallback so the artifact still carries a real measurement
+            kep = _run_phase("kepler", timeout_s=600, attempts=2,
+                             min_budget=120.0)
+            payload.update(kep or {
+                "metric": "ess_per_sec_per_chip_astrometry_fit",
+                "value": 0.0, "unit": "ESS/s",
+                "error": "headline and kepler fallback both failed",
+            })
         _emit()
 
-    # --- phase 3: partial-arc ridge via variational PT -------------
-    res = _run_phase(
-        "pa", timeout_s=800, attempts=2, min_budget=300.0,
-        validate=lambda o: "partial_arc_pt_rhat_max" in o,
-        error_key="partial_arc_pt_error",
-    )
-    if res:
-        payload.update(res)
-        _emit()
+    if "joint_astrom_pma_rv_ess_per_sec" not in payload:
+        res = _run_phase(
+            "joint", timeout_s=1100, attempts=1, min_budget=300.0,
+            validate=lambda o: "joint_astrom_pma_rv_ess_per_sec" in o,
+            error_key="joint_astrom_pma_rv_error",
+        )
+        if res:
+            if "joint_astrom_pma_rv_ess_per_sec" in res:
+                payload.pop("joint_astrom_pma_rv_error", None)
+            payload.update(res)
+            _emit()
+
+    if "partial_arc_pt_rhat_max" not in payload:
+        # resumes from the gated attempt's round checkpoint (honest
+        # cumulative timing via the .t0 sidecar)
+        res = _run_phase(
+            "pa", timeout_s=800, attempts=2, min_budget=300.0,
+            validate=lambda o: "partial_arc_pt_rhat_max" in o,
+            error_key="partial_arc_pt_error",
+        )
+        if res:
+            if "partial_arc_pt_rhat_max" in res:
+                payload.pop("partial_arc_pt_error", None)
+            payload.update(res)
+            _emit()
     if (payload.get("partial_arc_pt_rhat_max", np.inf) >= 1.05
             and np.isfinite(payload.get("partial_arc_pt_rhat_max", np.inf))):
         res = _run_phase(
